@@ -1,0 +1,65 @@
+"""On-device greedy NMS with static shapes.
+
+The reference relies on torchvision's C++/CUDA ``nms``
+(``object_reasoning.py:661``, ``object_scoring.py:238``). Greedy NMS is
+inherently sequential in the number of *kept* boxes; on TPU we express
+it as a ``fori_loop`` over score rank where each step computes one IoU
+row as a dense [N] vector op — O(N^2) elementwise work, fully batched
+on the VPU, no host round-trips, and jit/vmap-compatible so it can sit
+inside the reasoning scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_iou(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
+    """IoU matrix [N, M] for xyxy boxes."""
+    ax1, ay1, ax2, ay2 = jnp.split(boxes_a, 4, axis=-1)  # [N, 1]
+    bx1, by1, bx2, by2 = [v[:, 0] for v in jnp.split(boxes_b, 4, axis=-1)]  # [M]
+    ix1 = jnp.maximum(ax1, bx1[None, :])
+    iy1 = jnp.maximum(ay1, by1[None, :])
+    ix2 = jnp.minimum(ax2, bx2[None, :])
+    iy2 = jnp.minimum(ay2, by2[None, :])
+    inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+    area_a = jnp.clip(ax2 - ax1, 0) * jnp.clip(ay2 - ay1, 0)
+    area_b = jnp.clip(bx2 - bx1, 0) * jnp.clip(by2 - by1, 0)
+    union = area_a + area_b[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold",))
+def nms_mask(
+    boxes: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    iou_threshold: float = 0.5,
+) -> jax.Array:
+    """Greedy NMS. Returns a bool keep-mask aligned with the input order.
+
+    boxes: [N, 4] xyxy; scores: [N]; valid: [N] bool (padding slots are
+    never kept and never suppress). Ties in score are broken by input
+    index (stable sort), matching the deterministic behaviour the
+    reference gets from sorted CPU inputs.
+    """
+    n = boxes.shape[0]
+    neg_inf = jnp.array(-jnp.inf, scores.dtype)
+    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf), stable=True)
+    sorted_boxes = boxes[order]
+    sorted_valid = valid[order]
+
+    iou = pairwise_iou(sorted_boxes, sorted_boxes)
+
+    def body(i, keep):
+        # slot i is kept iff valid and not suppressed by an earlier kept box
+        suppressed = jnp.any(keep & (iou[:, i] > iou_threshold) & (jnp.arange(n) < i))
+        keep_i = sorted_valid[i] & ~suppressed
+        return keep.at[i].set(keep_i)
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
