@@ -1,0 +1,146 @@
+"""Behavioral tests of the batched discovery engine with analytic models.
+
+The synthetic "world" paints perfect objectness fields into the image
+channels: ch0 = object mask, ch1/ch2 = (dy, dx) center field encoded
+into [0,1]. The fake ObjectnessNet decodes them from each crop, so the
+engine's geometry (crops, splitting, boundary evolution, NMS) is tested
+end-to-end with exactly known answers.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from unmore_tpu.reasoning.engine import ObjectDiscoveryEngine, ReasoningConfig
+from unmore_tpu.reasoning.proposals import max_seed_count, seed_proposals
+
+
+def make_world(canvas, objects):
+    """objects: list of (x1, y1, x2, y2). Returns [H, W, 3] image encoding
+    per-object mask ids (ch0: 1.0 for even objects, 0.6 for odd) +
+    per-object outward center fields (ch1/ch2)."""
+    H = W = canvas
+    img = np.zeros((H, W, 3), np.float32)
+    img[..., 1:] = 0.5  # zero field
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    for k, (x1, y1, x2, y2) in enumerate(objects):
+        sel = (yy >= y1) & (yy < y2) & (xx >= x1) & (xx < x2)
+        cy, cx = (y1 + y2) / 2, (x1 + x2) / 2
+        dy = yy - cy
+        dx = xx - cx
+        n = np.sqrt(dy**2 + dx**2)
+        n = np.maximum(n, 1e-6)
+        img[..., 0][sel] = 1.0 if k % 2 == 0 else 0.6
+        img[..., 1][sel] = 0.5 + 0.5 * (dy / n)[sel]
+        img[..., 2][sel] = 0.5 + 0.5 * (dx / n)[sel]
+    return img
+
+
+def fake_objectness(crops, compute_center=True):
+    """Crop-conditioned like the trained net: the SDF covers only the
+    crop's *dominant* object (the net is trained on single-object crops),
+    while the center field keeps every object's painted field (on
+    multi-object crops the trained net produces converging fields —
+    that's what the singularity check detects)."""
+    m = crops[..., 0]
+    a = m > 0.8
+    b = (m > 0.3) & ~a
+    a_area = jnp.sum(a, axis=(1, 2), keepdims=True)
+    b_area = jnp.sum(b, axis=(1, 2), keepdims=True)
+    mask = jnp.where(a_area >= b_area, a, b)
+    out = {"sdf_maps": mask.astype(jnp.float32) * 2.0 - 1.0}
+    if compute_center:
+        out["center_fields"] = crops[..., 1:3] * 2.0 - 1.0
+    return out
+
+
+def fake_classifier(crops):
+    return jnp.max(crops[..., 0], axis=(1, 2))
+
+
+def iou(a, b):
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua
+
+
+def test_seed_proposals_deterministic_and_bounded():
+    seeds = seed_proposals(480, 640)
+    assert seeds.shape[1] == 4
+    assert (seeds[:, 0] >= 0).all() and (seeds[:, 2] <= 640).all()
+    assert (seeds[:, 1] >= 0).all() and (seeds[:, 3] <= 480).all()
+    assert (seeds[-1] == [0, 0, 640, 480]).all()
+    assert len(seeds) <= max_seed_count(480, 640)
+    assert len(seed_proposals(640, 640)) <= max_seed_count(640, 640)
+
+
+def _engine(**overrides):
+    kwargs = dict(
+        canvas_size=200,
+        max_proposals=256,
+        max_splits=256,
+        max_active=256,
+        crop_chunk=16,
+        n_round=30,
+        analyze_cc=False,
+    )
+    kwargs.update(overrides)
+    return ObjectDiscoveryEngine(fake_objectness, fake_classifier, ReasoningConfig(**kwargs))
+
+
+def test_single_object_discovery():
+    gt = (60, 70, 140, 150)
+    world = make_world(200, [gt])
+    engine = _engine()
+    result = engine.discover(world)
+    boxes = result["boxes"]
+    assert result["stats"]["n_final"] >= 1
+    best = max(iou(b, gt) for b in boxes)
+    assert best > 0.6, f"best IoU {best}, boxes {boxes[:5]}"
+
+
+def test_two_adjacent_objects_are_split():
+    # two touching rectangles: converging center fields at the seam must
+    # trigger a singularity split; final boxes should cover both objects
+    a = (30, 60, 100, 140)
+    b = (100, 60, 170, 140)
+    world = make_world(200, [a, b])
+    engine = _engine()
+    result = engine.discover(world)
+    boxes = result["boxes"]
+    assert len(boxes) >= 2, f"stats={result['stats']}"
+    best_a = max(iou(x, a) for x in boxes)
+    best_b = max(iou(x, b) for x in boxes)
+    # the synthetic +/-1 SDF makes boundary dynamics bang-bang, so the
+    # converged boxes are loose; the mechanism checks are what matter:
+    # the split fired and both objects are localized by separate boxes.
+    assert best_a > 0.35, f"A IoU {best_a}"
+    assert best_b > 0.35, f"B IoU {best_b}"
+    box_a = boxes[int(np.argmax([iou(x, a) for x in boxes]))]
+    box_b = boxes[int(np.argmax([iou(x, b) for x in boxes]))]
+    assert (box_a[0] + box_a[2]) / 2 < 100 < (box_b[0] + box_b[2]) / 2
+    assert result["stats"]["n_split"] > 0
+
+
+def test_empty_image_yields_no_boxes():
+    world = make_world(200, [])
+    engine = _engine()
+    result = engine.discover(world)
+    assert len(result["boxes"]) == 0
+
+
+def test_cc_analysis_adds_component_proposals():
+    # two small separated blobs inside one big passing proposal: CC path
+    # must emit enlarged per-component proposals
+    a = (20, 20, 80, 80)
+    b = (120, 120, 180, 180)
+    world = make_world(200, [a, b])
+    engine = _engine(analyze_cc=True, cc_max_components=4)
+    result = engine.discover(world)
+    assert result["stats"]["n_split"] > 0
+    boxes = result["boxes"]
+    assert len(boxes) >= 2, f"stats={result['stats']}"
+    assert max(iou(x, a) for x in boxes) > 0.4
+    assert max(iou(x, b) for x in boxes) > 0.4
