@@ -1,14 +1,16 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Set before any jax import so multi-chip sharding logic (DP mesh, psum,
-collectives) is exercised in CI without TPU hardware.
+The container pins JAX_PLATFORMS=axon (one real TPU chip); tests
+override to CPU with 8 virtual devices so multi-chip sharding logic
+(DP mesh, psum, collectives) is exercised in CI without TPU hardware.
+Must run before any backend initialization.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,169 @@
+"""Stage-1 training tests: GT synthesis semantics, DP-mesh train steps,
+checkpoint roundtrip. Runs on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unmore_tpu.config import ModelConfig, OptimConfig, TrainObjectnessConfig
+from unmore_tpu.data.votecut import batch_iterator, synthesize_labels
+from unmore_tpu.data.existence import background_square_crop, classifier_sample
+from unmore_tpu.models.objectness import ObjectnessNet
+from unmore_tpu.models.resnet import BinaryClassifier
+from unmore_tpu.models.vit import ViTConfig
+from unmore_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
+from unmore_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from unmore_tpu.train.classifier import (
+    init_classifier_state,
+    make_classifier_train_step,
+    make_eval_step,
+)
+from unmore_tpu.train.objectness import (
+    init_state,
+    make_optimizer,
+    make_train_step,
+    objectness_losses,
+)
+
+
+def _square_world(size=100, box=(30, 40, 70, 80)):
+    image = np.random.RandomState(0).rand(size, size, 3).astype(np.float32)
+    mask = np.zeros((size, size), np.uint8)
+    x1, y1, x2, y2 = box
+    mask[y1:y2, x1:x2] = 1
+    return image, mask
+
+
+def test_synthesize_labels_geometry():
+    image, mask = _square_world()
+    s = synthesize_labels(image, mask, image_size=64, use_bg_sdf=True, random_crop=False)
+    assert s is not None
+    assert s.image.shape == (64, 64, 3)
+    assert s.sdf.shape == (64, 64)
+    # saliency matches the (resized) square
+    assert s.saliency_mask[32, 32] == 1 and s.saliency_mask[2, 2] == 0
+    # signed SDF: positive inside, negative outside (bg sdf), ~[-1, 1]
+    assert s.sdf[32, 32] > 0 and s.sdf[2, 2] < 0
+    assert abs(s.sdf).max() <= 1.0 + 1e-6
+    # center field: unit vectors in FG pointing away from the center; 0 in BG
+    norms = np.linalg.norm(s.center_field, axis=-1)
+    fg = s.saliency_mask > 0
+    assert np.allclose(norms[fg], 1.0, atol=1e-5)
+    assert np.all(norms[~fg] == 0)
+    cx, cy = s.object_center
+    # a pixel right of the center should point in +x (channel 1)
+    px_y, px_x = int(cy), int(cx) + 8
+    if s.saliency_mask[px_y, px_x]:
+        assert s.center_field[px_y, px_x, 1] > 0.9
+    # empty mask -> None
+    assert synthesize_labels(image, np.zeros_like(mask), 64) is None
+
+
+def test_batch_iterator_fixed_shapes():
+    image, mask = _square_world()
+    rng = np.random.default_rng(0)
+
+    def sample_fn(_):
+        return synthesize_labels(image, mask, 32, rng=rng)
+
+    it = batch_iterator(sample_fn, 10, batch_size=4, rng=rng)
+    batch = next(it)
+    assert batch["image"].shape == (4, 32, 32, 3)
+    assert batch["center_field"].shape == (4, 32, 32, 2)
+    assert batch["sdf"].shape == (4, 32, 32)
+    assert batch["saliency_mask"].shape == (4, 32, 32)
+
+
+def _tiny_objectness():
+    return ObjectnessNet(
+        backbone_type="dpt_base",
+        features=16,
+        vit_config=ViTConfig(depth=2, dim=32, heads=2, mlp_dim=64, pretrain_grid=4),
+        hooks=(0, 1, 1, 1),
+        widths=(8, 16, 24, 24),
+    )
+
+
+def test_objectness_train_step_on_mesh_decreases_loss():
+    assert jax.device_count() == 8, "conftest must provide 8 CPU devices"
+    cfg = TrainObjectnessConfig(
+        model=ModelConfig(image_size=64),
+        optim=OptimConfig(learning_rate=1e-4, lr_scheduler_milestones=(1000,)),
+    )
+    model = _tiny_objectness()
+    tx = make_optimizer(cfg.optim)
+    mesh = data_parallel_mesh()
+    state = init_state(model, tx, jax.random.PRNGKey(0), image_size=64)
+    state = replicate(mesh, state)
+    step = make_train_step(model, tx, cfg, mesh)
+
+    image, mask = _square_world()
+    s = synthesize_labels(image, mask, 64, random_crop=False)
+    batch = {
+        "image": np.stack([s.image] * 8),
+        "center_field": np.stack([s.center_field] * 8),
+        "sdf": np.stack([s.sdf] * 8),
+        "saliency_mask": np.stack([s.saliency_mask] * 8),
+    }
+    batch = shard_batch(mesh, batch)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total"]))
+    assert np.mean(losses[-3:]) < losses[0] * 0.95, losses
+    for key in ("center_field", "sdf", "sdf_gradient", "sdf_binary_mask"):
+        assert key in metrics
+    assert int(state.step) == 12
+
+
+def test_classifier_train_step_and_eval():
+    model = BinaryClassifier(stage_blocks=(1, 1))
+    import optax
+
+    tx = optax.adam(1e-3)
+    state = init_classifier_state(model, tx, jax.random.PRNGKey(0), image_size=32)
+    step = make_classifier_train_step(model, tx)
+    rng = np.random.RandomState(0)
+    # separable toy task: bright vs dark images
+    images = np.concatenate(
+        [rng.rand(4, 32, 32, 3) * 0.3, rng.rand(4, 32, 32, 3) * 0.3 + 0.7]
+    ).astype(np.float32)
+    labels = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.float32)
+    batch = {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
+    stats_before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+    losses = []
+    for _ in range(15):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    stats_after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert not np.allclose(stats_before, stats_after), "batch_stats must update"
+    hits, total = make_eval_step(model)(state.params, state.batch_stats, batch)
+    assert float(total) == 8.0 and float(hits) >= 6.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = TrainObjectnessConfig(model=ModelConfig(image_size=64))
+    model = _tiny_objectness()
+    tx = make_optimizer(cfg.optim)
+    state = init_state(model, tx, jax.random.PRNGKey(0), image_size=64)
+    path = str(tmp_path / "ckpt" / "iter_1_model.ckpt")
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, target=state)
+    a, b = jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_existence_sampling():
+    image, mask = _square_world()
+    crop = background_square_crop(image, mask)
+    assert crop is not None and crop.ndim == 3
+    rng = np.random.default_rng(0)
+    pos_seen, neg_seen = False, False
+    for _ in range(20):
+        c, label = classifier_sample(image, mask, mask, 32, rng)
+        assert c.shape == (32, 32, 3)
+        pos_seen |= label == 1.0
+        neg_seen |= label == 0.0
+    assert pos_seen and neg_seen

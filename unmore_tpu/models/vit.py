@@ -150,13 +150,15 @@ class ViTBackbone(nn.Module):
         tokens = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, cfg.dim)).astype(tokens.dtype), tokens], axis=1)
         tokens = tokens + pos.astype(tokens.dtype)
 
-        taps = []
+        taps_by_layer = {}
+        hook_set = set(self.hooks)
         for i in range(cfg.depth):
             tokens = Block(
                 cfg.dim, cfg.heads, cfg.mlp_dim, self.dtype, self.precision, name=f"block{i}"
             )(tokens)
-            if i in self.hooks:
-                taps.append(tokens)
+            if i in hook_set:
+                taps_by_layer[i] = tokens
+        taps = [taps_by_layer[h] for h in self.hooks]
         # The reference applies a final LayerNorm to produce `glob`
         # (models/dpt/vit.py:199) but DPT consumes only the hooked block
         # outputs, so the final norm is omitted here.

@@ -1,0 +1,130 @@
+"""Stage-1 ObjectnessNet training: jitted 4-loss step on a DP mesh.
+
+Re-design of reference ``ObjectnessNetTrainer``
+(``train_objectness_net.py:45-300``): the four losses —
+
+  1. center-field L2/L1            (:218-224)
+  2. SDF L1/L2                     (:227-233)
+  3. SDF forward-gradient loss     (:235-248, last row/col dropped)
+  4. SDF-binary-mask BCE vs saliency (:250-254)
+
+— summed and differentiated under one ``jit`` whose batch input is
+sharded along the mesh ``data`` axis; XLA inserts the gradient psum
+over ICI (the TPU replacement for DDP allreduce). Parameters and
+optimizer state are replicated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from unmore_tpu.config import OptimConfig, TrainObjectnessConfig
+from unmore_tpu.ops.image import image_gradients
+from unmore_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    if cfg.lr_scheduler_type == "multi_step_lr":
+        schedule = optax.piecewise_constant_schedule(
+            init_value=cfg.learning_rate,
+            boundaries_and_scales={int(m): cfg.lr_scheduler_gamma for m in cfg.lr_scheduler_milestones},
+        )
+    elif cfg.lr_scheduler_type == "constant":
+        schedule = cfg.learning_rate
+    else:
+        raise NotImplementedError(cfg.lr_scheduler_type)
+    if cfg.optimizer == "adam":
+        return optax.adam(schedule)
+    if cfg.optimizer == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(cfg.sgd_weight_decay),
+            optax.sgd(schedule, momentum=cfg.sgd_momentum),
+        )
+    if cfg.optimizer == "lars":
+        return optax.lars(schedule)
+    raise NotImplementedError(cfg.optimizer)
+
+
+def objectness_losses(out: dict, batch: dict, cfg: TrainObjectnessConfig) -> dict:
+    """Per-term losses. out: model outputs (NHWC); batch: synthesized GT."""
+    pred_center = out["center_fields"]  # [B, H, W, 2]
+    gt_center = batch["center_field"]
+    if cfg.center_field_loss_type == "l2":
+        center_loss = jnp.mean((pred_center - gt_center) ** 2)
+    else:
+        center_loss = jnp.mean(jnp.abs(pred_center - gt_center))
+
+    pred_sdf = out["sdf_maps"]  # [B, H, W]
+    gt_sdf = batch["sdf"]
+    if cfg.sdf_loss_type == "l2":
+        sdf_loss = jnp.mean((pred_sdf - gt_sdf) ** 2)
+    else:
+        sdf_loss = jnp.mean(jnp.abs(pred_sdf - gt_sdf))
+
+    losses = {"center_field": center_loss, "sdf": sdf_loss}
+
+    if cfg.use_sdf_gradient_loss:
+        gdy, gdx = image_gradients(gt_sdf)
+        pdy, pdx = image_gradients(pred_sdf)
+        gt_grad = jnp.stack([gdy, gdx], 1)[:, :, :-1, :-1]
+        pred_grad = jnp.stack([pdy, pdx], 1)[:, :, :-1, :-1]
+        if cfg.sdf_loss_type == "l2":
+            losses["sdf_gradient"] = jnp.mean((gt_grad - pred_grad) ** 2)
+        else:
+            losses["sdf_gradient"] = jnp.mean(jnp.abs(gt_grad - pred_grad))
+
+    if cfg.use_sdf_binary_mask_loss:
+        p = jax.nn.sigmoid(pred_sdf)
+        y = batch["saliency_mask"]
+        eps = 1e-7
+        losses["sdf_binary_mask"] = -jnp.mean(
+            y * jnp.log(p + eps) + (1 - y) * jnp.log(1 - p + eps)
+        )
+
+    losses["total"] = sum(losses.values())
+    return losses
+
+
+def make_train_step(model, tx, cfg: TrainObjectnessConfig, mesh: Mesh | None = None):
+    """Returns train_step(state, batch) -> (state, metrics), jitted with
+    DP shardings when a mesh is given."""
+
+    def loss_fn(params, batch):
+        out = model.apply({"params": params}, batch["image"])
+        losses = objectness_losses(out, batch, cfg)
+        return losses["total"], losses
+
+    def step(state: TrainState, batch):
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params, opt_state=opt_state), losses
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
+
+
+def init_state(model, tx, rng, image_size: int, batch_size: int = 1) -> TrainState:
+    params = model.init(rng, jnp.zeros((batch_size, image_size, image_size, 3)))["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
