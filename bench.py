@@ -1,0 +1,122 @@
+"""Stage-2 discovery throughput benchmark (runs on the real TPU chip).
+
+Measures the full discovery compute pipeline at a fixed, representative
+per-image load so results are deterministic and comparable across
+rounds (random-weight models would otherwise make threshold-dependent
+phase sizes arbitrary):
+
+  existence pass over 1636 seed crops   (the 640x640 COCO seed count)
+  center pass (fields + decode + CC) over 512 proposals
+  50 boundary rounds at 256 active proposals
+
+with the real DPT-Large ObjectnessNet + ResNet-50 classifier in
+bfloat16. Reported as images/sec against the BASELINE.json north-star
+of 500 img/s (v4-8); this runs on a single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # persistent compile cache: remote compile on this setup takes minutes
+    # for the big model graphs; cache hits make re-runs fast
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from unmore_tpu.models.objectness import ObjectnessNet
+    from unmore_tpu.models.resnet import BinaryClassifier
+    from unmore_tpu.reasoning.engine import ObjectDiscoveryEngine, ReasoningConfig
+
+    cfg = ReasoningConfig(crop_chunk=32)
+    rng = jax.random.PRNGKey(0)
+
+    objectness = ObjectnessNet(
+        backbone_type="dpt_large", sdf_activation="tanh", use_bg_sdf=True, dtype=jnp.bfloat16
+    )
+    classifier = BinaryClassifier(dtype=jnp.bfloat16)
+
+    dummy = jnp.zeros((cfg.crop_chunk, 128, 128, 3), jnp.float32)
+    obj_params = jax.jit(lambda k: objectness.init(k, dummy)["params"])(rng)
+    cls_vars = jax.jit(lambda k: classifier.init(k, dummy, train=False))(rng)
+
+    def objectness_apply(crops, compute_center):
+        return objectness.apply({"params": obj_params}, crops)
+
+    def classifier_apply(crops):
+        return classifier.apply(cls_vars, crops)[:, 0]
+
+    engine = ObjectDiscoveryEngine(objectness_apply, classifier_apply, cfg)
+
+    # representative fixed load
+    N_SEED, N_CENTER, N_ACTIVE, N_ROUNDS = 1636, 512, 256, 50
+    canvas = jnp.asarray(np.random.RandomState(0).rand(cfg.canvas_size, cfg.canvas_size, 3).astype(np.float32))
+    hw = jnp.asarray([480.0, 640.0])
+
+    def make_lattice(n, slots):
+        r = np.random.RandomState(1)
+        xy = r.rand(slots, 2) * 400
+        wh = r.rand(slots, 2) * 200 + 40
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        valid = np.arange(slots) < n
+        return jnp.asarray(boxes), jnp.asarray(valid)
+
+    seed_boxes, seed_valid = make_lattice(N_SEED, cfg.max_proposals)
+    ctr_boxes, ctr_valid = make_lattice(N_CENTER, cfg.max_proposals)
+    act_boxes, act_valid = make_lattice(N_ACTIVE, cfg.max_active)
+
+    # boundary at a pinned load: run the chunked stats pass N_ROUNDS times
+    # (label-driven early exit would make random-weight runs incomparable)
+    import functools
+
+    from unmore_tpu.reasoning.engine import _live_prefix_map
+
+    @jax.jit
+    def boundary_fixed(canvas, boxes, n_active):
+        def one_round(i, acc):
+            out_init = {
+                k: jnp.zeros((boxes.shape[0],), jnp.float32)
+                for k in ("max_sdf", "d_x1", "d_y1", "d_x2", "d_y2")
+            }
+            stats = _live_prefix_map(
+                functools.partial(engine._boundary_chunk_stats, canvas),
+                boxes, n_active, cfg.crop_chunk, out_init,
+            )
+            return acc + stats["max_sdf"]
+        return jax.lax.fori_loop(0, N_ROUNDS, one_round, jnp.zeros((boxes.shape[0],)))
+
+    def run_once():
+        _, _, scores = engine._existence_j(canvas, seed_boxes, seed_valid)
+        center = engine._center_j(canvas, hw, ctr_boxes, ctr_valid)
+        b = boundary_fixed(canvas, act_boxes, jnp.int32(N_ACTIVE))
+        jax.block_until_ready((scores, center["passed"], b))
+
+    run_once()  # warmup/compile
+    t0 = time.perf_counter()
+    n_iters = 3
+    for _ in range(n_iters):
+        run_once()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    value = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stage2_discovery_images_per_sec",
+                "value": round(value, 4),
+                "unit": "images/sec",
+                "vs_baseline": round(value / 500.0, 6),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Stage-2 object discovery CLI (reference-compatible flags + JSON contract).
+
+Runs the batched reasoning engine over a COCO split and writes
+``results_reasoning/<run_name>/discovery_results.json`` mapping
+image_id -> [N, 4] xyxy boxes, exactly the reference contract
+(``object_reasoning.py:664-665``). Flags mirror reference :671-708 with
+explicit dataset-path flags replacing hard-coded paths.
+"""
+
+import argparse
+import datetime
+import json
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--gpu_index", type=int, default=0, help="ignored (TPU build)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--run_name", type=str, default=None)
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--backbone_type", type=str, default="dpt_large")
+    p.add_argument("--sdf_activation", type=str, default=None)
+    p.add_argument("--use_bg_sdf", action="store_true")
+    p.add_argument("--objectness_resume", type=str, default=None)
+    p.add_argument("--binary_classifier_resume", type=str, default=None)
+    p.add_argument("--start_idx", type=int, default=-1)
+    p.add_argument("--end_idx", type=int, default=-1)
+    p.add_argument("--dataset_split", type=str, default="test")
+    p.add_argument("--dataset", type=str, default="COCO")
+    p.add_argument("--class_score_thres", type=float, default=0.1)
+    p.add_argument("--center_score_max_thres", type=float, default=0.009)
+    p.add_argument("--analyze_cc", action="store_true")
+    p.add_argument("--max_sdf_thres", type=float, default=0.5)
+    p.add_argument("--max_shrink_threshold", type=float, default=16)
+    p.add_argument("--delta_ratio", type=float, default=0.5)
+    p.add_argument("--n_round", type=int, default=50)
+    p.add_argument("--proposal_area_thres", type=int, default=50)
+    # TPU-build flags
+    p.add_argument("--coco_image_dir", type=str, required=True)
+    p.add_argument("--coco_annotations", type=str, required=True)
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--canvas_size", type=int, default=640)
+    p.add_argument("--max_proposals", type=int, default=2048)
+    p.add_argument("--max_active", type=int, default=1024)
+    p.add_argument("--crop_chunk", type=int, default=32)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+
+    from unmore_tpu.cli.common import (
+        NpEncoder,
+        build_classifier,
+        build_objectness,
+        load_classifier_variables,
+        load_objectness_params,
+        make_apply_fns,
+    )
+    from unmore_tpu.data.coco import COCOImages
+    from unmore_tpu.reasoning.engine import ObjectDiscoveryEngine, ReasoningConfig
+
+    if args.run_name is None:
+        args.run_name = (
+            datetime.datetime.now().strftime("%y%m%d_%H%M%S") + "_" + args.dataset + "_" + args.dataset_split
+        )
+    if args.start_idx != -1 and args.end_idx != -1:
+        args.run_name += f"_{args.start_idx}_{args.end_idx}"
+    result_folder = os.path.join("results_reasoning", args.run_name)
+    os.makedirs(result_folder, exist_ok=True)
+    with open(os.path.join(result_folder, "configs_object_reasoning.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+    print("result_folder", result_folder)
+
+    objectness = build_objectness(args, args.dtype)
+    classifier = build_classifier(args.dtype)
+    obj_params = load_objectness_params(args.objectness_resume)
+    cls_vars = load_classifier_variables(args.binary_classifier_resume)
+    objectness_apply, classifier_apply = make_apply_fns(objectness, obj_params, classifier, cls_vars)
+
+    cfg = ReasoningConfig(
+        crop_size=args.image_size,
+        canvas_size=args.canvas_size,
+        max_proposals=args.max_proposals,
+        max_active=args.max_active,
+        crop_chunk=args.crop_chunk,
+        class_score_thres=args.class_score_thres,
+        center_score_max_thres=args.center_score_max_thres,
+        analyze_cc=args.analyze_cc,
+        max_sdf_thres=args.max_sdf_thres,
+        max_shrink_threshold=args.max_shrink_threshold,
+        delta_ratio=args.delta_ratio,
+        n_round=args.n_round,
+        proposal_area_thres=args.proposal_area_thres,
+    )
+    engine = ObjectDiscoveryEngine(objectness_apply, classifier_apply, cfg)
+
+    dataset = COCOImages(args.coco_image_dir, args.coco_annotations, args.start_idx, args.end_idx)
+    results = {}
+    t0 = time.time()
+    for idx in range(len(dataset)):
+        image, image_id = dataset.get(idx)
+        out = engine.discover(image)
+        if len(out["boxes"]):
+            results[int(image_id)] = out["boxes"]
+        done = idx + 1
+        print(
+            f"[{done}/{len(dataset)}] image {image_id}: {out['stats']} "
+            f"({done / (time.time() - t0):.3f} img/s)",
+            flush=True,
+        )
+
+    out_path = os.path.join(result_folder, "discovery_results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2, cls=NpEncoder)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

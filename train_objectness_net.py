@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Stage-1 training CLI (reference-compatible flags).
+
+Re-implementation of the reference ``train_objectness_net.py`` CLI
+(flags at reference :747-835) on the TPU stack: same run-directory
+layout (``results_objectness/<mode>/<run>/{configs.json, train_log.json,
+ckpt/iter_N_model.ckpt}``), same cadence semantics, plus explicit data
+directory flags replacing the reference's hard-coded paths
+(``datasets.py:85-86,265-267``) and a data-parallel device mesh.
+"""
+
+import argparse
+import datetime
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--gpu_index", type=int, default=0, help="ignored (TPU build)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--run_name", type=str, default=None)
+    p.add_argument("--save_ckpt_every", type=int, default=5000)
+    p.add_argument("--evaluate_loss_every", type=int, default=1000)
+    p.add_argument("--evaluate_every", type=int, default=5000)
+    p.add_argument("--visualize_every", type=int, default=5000)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--N_vis", type=int, default=10)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--eval_mode", action="store_true")
+    p.add_argument("--train_iter", type=int, default=500000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--test_batch_size", type=int, default=16)
+    p.add_argument("--learning_rate", type=float, default=0.0001)
+    p.add_argument("--lr_scheduler_type", type=str, default="multi_step_lr")
+    p.add_argument("--lr_scheduler_milestones", nargs="+", type=int, default=[10000, 20000])
+    p.add_argument("--lr_scheduler_gamma", type=float, default=1)
+    p.add_argument("--ema_lr", type=float, default=0.001)
+    p.add_argument("--optimizer", type=str, default="adam")
+    p.add_argument("--dataset", type=str, default="ImageNet_votecut_top1_Dataset")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--random_crop_scale_min", type=float, default=0.08)
+    p.add_argument("--random_crop_scale_max", type=float, default=1.0)
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--backbone_type", type=str, default="dpt_large")
+    p.add_argument("--sdf_activation", type=str, default=None)
+    p.add_argument("--use_bg_sdf", action="store_true")
+    p.add_argument("--sdf_loss_type", type=str, default="l1")
+    p.add_argument("--center_field_loss_type", type=str, default="l2")
+    p.add_argument("--use_sdf_gradient_loss", action="store_true")
+    p.add_argument("--use_sdf_binary_mask_loss", action="store_true")
+    p.add_argument("--train_center_and_boundary", action="store_true")
+    p.add_argument("--train_existence", action="store_true")
+    # TPU-build flags (the reference hard-codes these paths)
+    p.add_argument("--imagenet_dir", type=str, default=None, help="ImageNet train images root")
+    p.add_argument("--votecut_mask_dir", type=str, default=None, help="masks_top1_single_component root")
+    p.add_argument("--votecut_full_mask_dir", type=str, default=None, help="full votecut masks (existence bg crops)")
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    return p.parse_args(argv)
+
+
+def _make_run_dir(args, mode: str):
+    if args.run_name is None:
+        args.run_name = (
+            datetime.datetime.now().strftime("%y%m%d_%H%M%S") + "_" + args.dataset + "_" + args.backbone_type
+        )
+    result_folder = os.path.join("results_objectness", mode, args.run_name)
+    os.makedirs(os.path.join(result_folder, "ckpt"), exist_ok=True)
+    os.makedirs(os.path.join(result_folder, "imgs"), exist_ok=True)
+    with open(os.path.join(result_folder, "configs.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+    return result_folder
+
+
+def _append_train_log(path, iteration, avg_loss):
+    data = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            data = json.load(f)
+    data[str(iteration)] = float(avg_loss)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+
+
+def train_center_and_boundary(args):
+    import jax
+
+    from unmore_tpu.config import ModelConfig, OptimConfig, TrainObjectnessConfig
+    from unmore_tpu.cli.common import DTYPES
+    from unmore_tpu.data.votecut import VoteCutObjectnessDataset, batch_iterator
+    from unmore_tpu.models.objectness import ObjectnessNet
+    from unmore_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
+    from unmore_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+    from unmore_tpu.train.objectness import init_state, make_optimizer, make_train_step
+
+    result_folder = _make_run_dir(args, "center_and_boundary")
+    train_log_path = os.path.join(result_folder, "train_log.json")
+
+    cfg = TrainObjectnessConfig(
+        model=ModelConfig(
+            backbone_type=args.backbone_type,
+            sdf_activation=args.sdf_activation,
+            use_bg_sdf=args.use_bg_sdf,
+            image_size=args.image_size,
+            dtype=args.dtype,
+        ),
+        optim=OptimConfig(
+            optimizer=args.optimizer,
+            learning_rate=args.learning_rate,
+            lr_scheduler_type=args.lr_scheduler_type,
+            lr_scheduler_milestones=tuple(args.lr_scheduler_milestones),
+            lr_scheduler_gamma=args.lr_scheduler_gamma,
+        ),
+        seed=args.seed,
+        batch_size=args.batch_size,
+        train_iter=args.train_iter,
+        save_ckpt_every=args.save_ckpt_every,
+        log_every=args.log_every,
+        sdf_loss_type=args.sdf_loss_type,
+        center_field_loss_type=args.center_field_loss_type,
+        use_sdf_gradient_loss=args.use_sdf_gradient_loss,
+        use_sdf_binary_mask_loss=args.use_sdf_binary_mask_loss,
+        random_crop_scale_min=args.random_crop_scale_min,
+        random_crop_scale_max=args.random_crop_scale_max,
+    )
+
+    model = ObjectnessNet(
+        backbone_type=args.backbone_type,
+        sdf_activation=args.sdf_activation,
+        use_bg_sdf=args.use_bg_sdf,
+        dtype=DTYPES[args.dtype],
+    )
+    tx = make_optimizer(cfg.optim)
+    mesh = data_parallel_mesh()
+    state = init_state(model, tx, jax.random.PRNGKey(args.seed), args.image_size)
+    start_iter = 0
+    if args.resume:
+        state = load_checkpoint(args.resume, target=state)
+        start_iter = int(state.step)
+        print(f"resumed from {args.resume} at iter {start_iter}")
+    state = replicate(mesh, state)
+    step_fn = make_train_step(model, tx, cfg, mesh)
+
+    dataset = VoteCutObjectnessDataset(
+        args.imagenet_dir, args.votecut_mask_dir, args.image_size, args.use_bg_sdf,
+        crop_scale=(args.random_crop_scale_min, args.random_crop_scale_max), seed=args.seed,
+    )
+    rng = np.random.default_rng(args.seed)
+    it = batch_iterator(lambda i: dataset.get(i), len(dataset), args.batch_size, rng)
+
+    losses = []
+    t0 = time.time()
+    for iteration in range(start_iter, args.train_iter + 1):
+        batch = shard_batch(mesh, next(it))
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["total"]))
+        step_no = iteration + 1
+        if step_no % args.save_ckpt_every == 0:
+            path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
+            save_checkpoint(path, state)
+            print(f"* saved checkpoint {path}")
+        if step_no % args.log_every == 0:
+            avg = sum(losses) / len(losses)
+            losses = []
+            rate = args.log_every / (time.time() - t0)
+            t0 = time.time()
+            _append_train_log(train_log_path, step_no, avg)
+            print(f"iter {step_no} loss {avg:.4f} ({rate:.2f} it/s)")
+
+
+def train_existence(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from unmore_tpu.cli.common import DTYPES
+    from unmore_tpu.data.existence import classifier_sample
+    from unmore_tpu.data.votecut import VoteCutObjectnessDataset, load_image_mask_pair
+    from unmore_tpu.models.resnet import BinaryClassifier
+    from unmore_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
+    from unmore_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+    from unmore_tpu.train.classifier import init_classifier_state, make_classifier_train_step
+
+    result_folder = _make_run_dir(args, "existence")
+    train_log_path = os.path.join(result_folder, "train_log.json")
+
+    model = BinaryClassifier(dtype=DTYPES[args.dtype], bn_axis_name=None)
+    schedule = optax.piecewise_constant_schedule(
+        args.learning_rate, {int(m): args.lr_scheduler_gamma for m in args.lr_scheduler_milestones}
+    )
+    tx = optax.adam(schedule)
+    mesh = data_parallel_mesh()
+    state = init_classifier_state(model, tx, jax.random.PRNGKey(args.seed), args.image_size)
+    start_iter = 0
+    if args.resume:
+        state = load_checkpoint(args.resume, target=state)
+        start_iter = int(state.step)
+    state = replicate(mesh, state)
+    step_fn = make_classifier_train_step(model, tx, mesh)
+
+    index = VoteCutObjectnessDataset(args.imagenet_dir, args.votecut_mask_dir, args.image_size, seed=args.seed)
+    full_mask_dir = args.votecut_full_mask_dir or args.votecut_mask_dir
+    rng = np.random.default_rng(args.seed)
+
+    def sample():
+        while True:
+            name = index.names[int(rng.integers(0, len(index.names)))]
+            image, top1 = load_image_mask_pair(
+                os.path.join(args.imagenet_dir, name.replace(".png", ".JPEG")),
+                os.path.join(args.votecut_mask_dir, name.replace(".JPEG", ".png")),
+            )
+            if image is None:
+                continue
+            full_path = os.path.join(full_mask_dir, name.replace(".JPEG", ".png"))
+            _, full = load_image_mask_pair(
+                os.path.join(args.imagenet_dir, name.replace(".png", ".JPEG")), full_path
+            )
+            if full is None:
+                full = top1
+            return classifier_sample(image, top1, full, args.image_size, rng)
+
+    losses = []
+    t0 = time.time()
+    for iteration in range(start_iter, args.train_iter + 1):
+        samples = [sample() for _ in range(args.batch_size)]
+        batch = shard_batch(
+            mesh,
+            {
+                "image": np.stack([s[0] for s in samples]),
+                "label": np.array([s[1] for s in samples], np.float32),
+            },
+        )
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+        step_no = iteration + 1
+        if step_no % args.save_ckpt_every == 0:
+            path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
+            save_checkpoint(path, state)
+            print(f"* saved checkpoint {path}")
+        if step_no % args.log_every == 0:
+            avg = sum(losses) / len(losses)
+            losses = []
+            rate = args.log_every / (time.time() - t0)
+            t0 = time.time()
+            _append_train_log(train_log_path, step_no, avg)
+            print(f"iter {step_no} loss {avg:.4f} ({rate:.2f} it/s)")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.train_center_and_boundary:
+        train_center_and_boundary(args)
+    elif args.train_existence:
+        train_existence(args)
+    else:
+        print("Please Specify Models To Be Trained.")
+
+
+if __name__ == "__main__":
+    main()

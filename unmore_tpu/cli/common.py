@@ -1,0 +1,109 @@
+"""Shared CLI plumbing: model construction + checkpoint resolution.
+
+Checkpoints load from either format transparently:
+* this framework's msgpack checkpoints (``train/checkpoints.py``)
+* reference PyTorch ``.ckpt`` files (``torch.save`` dicts), converted
+  on the fly via :mod:`unmore_tpu.models.convert`
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unmore_tpu.models.convert import (
+    convert_classifier_state_dict,
+    convert_objectness_state_dict,
+    load_torch_checkpoint,
+)
+from unmore_tpu.models.objectness import ObjectnessNet
+from unmore_tpu.models.resnet import BinaryClassifier
+
+DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def build_objectness(args_like, dtype="bfloat16") -> ObjectnessNet:
+    return ObjectnessNet(
+        backbone_type=getattr(args_like, "backbone_type", "dpt_large"),
+        sdf_activation=getattr(args_like, "sdf_activation", None),
+        use_bg_sdf=getattr(args_like, "use_bg_sdf", False),
+        dtype=DTYPES[dtype],
+    )
+
+
+def build_classifier(dtype="bfloat16") -> BinaryClassifier:
+    return BinaryClassifier(dtype=DTYPES[dtype])
+
+
+def _is_msgpack(path: str) -> bool:
+    try:
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            serialization.msgpack_restore(f.read())
+        return True
+    except Exception:
+        return False
+
+
+def load_objectness_params(path: str):
+    """-> params pytree, from msgpack or a reference torch checkpoint."""
+    if _is_msgpack(path):
+        from unmore_tpu.train.checkpoints import load_checkpoint
+
+        ckpt = load_checkpoint(path)
+        return ckpt["params"] if "params" in ckpt else ckpt
+    sd = load_torch_checkpoint(path)
+    return convert_objectness_state_dict(sd)
+
+
+def load_classifier_variables(path: str):
+    """-> {'params': ..., 'batch_stats': ...}."""
+    if _is_msgpack(path):
+        from unmore_tpu.train.checkpoints import load_checkpoint
+
+        ckpt = load_checkpoint(path)
+        if "params" in ckpt and "batch_stats" in ckpt:
+            return {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+        return ckpt
+    sd = load_torch_checkpoint(path)
+    return convert_classifier_state_dict(sd)
+
+
+def make_apply_fns(objectness, obj_params, classifier, cls_vars):
+    """(objectness_apply(crops, compute_center), classifier_apply(crops))."""
+
+    def objectness_apply(crops, compute_center=True):
+        return objectness.apply({"params": obj_params}, crops)
+
+    def classifier_apply(crops):
+        return classifier.apply(cls_vars, crops)[:, 0]
+
+    return objectness_apply, classifier_apply
+
+
+def init_random_variables(objectness, classifier, crop_size=128, seed=0):
+    """Random-weight variables (for smoke tests / benches without ckpts)."""
+    rng = jax.random.PRNGKey(seed)
+    dummy = jnp.zeros((1, crop_size, crop_size, 3), jnp.float32)
+    obj_params = objectness.init(rng, dummy)["params"]
+    cls_vars = classifier.init(rng, dummy, train=False)
+    return obj_params, cls_vars
+
+
+class NpEncoder(json.JSONEncoder):
+    """JSON encoder accepting numpy scalars/arrays (reference utils/misc.py:25-49)."""
+
+    def default(self, obj):
+        if isinstance(obj, np.integer):
+            return int(obj)
+        if isinstance(obj, np.floating):
+            return float(obj)
+        if isinstance(obj, np.bool_):
+            return bool(obj)
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        return super().default(obj)

@@ -1,0 +1,280 @@
+"""Self-contained COCO detection metrics (AP/AR), numpy implementation.
+
+Replaces the reference's evaluator stack — pycocotools ``COCOeval`` plus
+the detectron2 C++ ``COCOeval_opt`` fast path
+(``COCO_evaluator/fast_eval_api.py:15-199``,
+``COCO_evaluator/coco_evaluation.py:182-220``) — with one numpy module
+implementing the standard COCO protocol:
+
+* IoU thresholds 0.50:0.05:0.95, recall grid 0:0.01:1
+* area ranges all/small/medium/large, maxDets [1, 10, 100]
+* crowd GTs match with intersection-over-det-area and are ignorable
+* greedy score-ordered matching, ignore semantics per the official spec
+
+Reports the 12-metric table the reference prints
+(``COCO_evaluator/coco_evaluation.py:349-352``): AP, AP50, AP75,
+APs/m/l, AR@1/10/100, ARs/m/l. Supports ``bbox`` and ``segm`` (via the
+RLE codec) and class-agnostic evaluation (every category mapped to one
+foreground class, as in all reference evals).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from collections import defaultdict
+
+import numpy as np
+
+from unmore_tpu.utils import rle as rle_codec
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+MAX_DETS = (1, 10, 100)
+
+METRIC_NAMES = [
+    "AP", "AP50", "AP75", "APs", "APm", "APl",
+    "AR1", "AR10", "AR100", "ARs", "ARm", "ARl",
+]
+
+
+def bbox_iou(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
+    """IoU of xywh boxes; crowd GT columns use intersection / det area."""
+    out = np.zeros((len(dt), len(gt)))
+    for j, g in enumerate(gt):
+        gx1, gy1, gw, gh = g
+        gx2, gy2 = gx1 + gw, gy1 + gh
+        garea = gw * gh
+        for i, d in enumerate(dt):
+            dx1, dy1, dw, dh = d
+            dx2, dy2 = dx1 + dw, dy1 + dh
+            iw = min(dx2, gx2) - max(dx1, gx1)
+            ih = min(dy2, gy2) - max(dy1, gy1)
+            if iw <= 0 or ih <= 0:
+                continue
+            inter = iw * ih
+            union = dw * dh if iscrowd[j] else dw * dh + garea - inter
+            out[i, j] = inter / union if union > 0 else 0.0
+    return out
+
+
+def _segm_iou(dt_rles, gt_rles, iscrowd):
+    return rle_codec.iou(dt_rles, gt_rles, iscrowd=iscrowd)
+
+
+class COCOMetrics:
+    """Evaluate predictions against a COCO-format GT dict.
+
+    gt: dict with 'images', 'annotations' (and optionally 'categories').
+    class_agnostic: map every category (GT and dt) to a single class.
+    """
+
+    def __init__(self, gt, iou_type="bbox", class_agnostic=True, max_dets=MAX_DETS):
+        if isinstance(gt, str):
+            with open(gt) as f:
+                gt = json.load(f)
+        self.iou_type = iou_type
+        self.class_agnostic = class_agnostic
+        self.max_dets = tuple(max_dets)
+        self.img_ids = [im["id"] for im in gt["images"]]
+        self._img_set = set(self.img_ids)
+        self.gt_by_img_cat = defaultdict(list)
+        cats = set()
+        for ann in gt["annotations"]:
+            cat = 1 if class_agnostic else ann["category_id"]
+            cats.add(cat)
+            if ann["image_id"] in self._img_set:
+                self.gt_by_img_cat[(ann["image_id"], cat)].append(ann)
+        self.cat_ids = sorted(cats) if cats else [1]
+        self._images = {im["id"]: im for im in gt["images"]}
+
+    # ------------------------------------------------------------ matching
+    def _ann_area(self, ann):
+        if "area" in ann and ann["area"] is not None:
+            return float(ann["area"])
+        if self.iou_type == "segm" and ann.get("segmentation"):
+            return float(rle_codec.area(ann["segmentation"]))
+        b = ann["bbox"]
+        return float(b[2] * b[3])
+
+    def _iou(self, dts, gts):
+        iscrowd = np.array([int(g.get("iscrowd", 0)) for g in gts])
+        if self.iou_type == "bbox":
+            dt = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
+            gt = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
+            return bbox_iou(dt, gt, iscrowd)
+        return _segm_iou(
+            [d["segmentation"] for d in dts], [g["segmentation"] for g in gts], iscrowd
+        )
+
+    def _evaluate_img(self, dts, gts, ious, area_rng, max_det):
+        """Per (image, category, area, maxDet) matching.
+
+        Returns (dt_matches [T, D], dt_ignore [T, D], gt_ignore [G],
+        dt_scores [D]) following the official COCOeval.evaluateImg.
+        """
+        T = len(IOU_THRS)
+        gt_ig = np.array(
+            [1 if (g.get("iscrowd", 0) or not (area_rng[0] <= self._ann_area(g) <= area_rng[1])) else 0 for g in gts]
+        )
+        gt_order = np.argsort(gt_ig, kind="stable")  # ignored last
+        gts = [gts[i] for i in gt_order]
+        gt_ig = gt_ig[gt_order]
+        dt_order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det]
+        dts = [dts[i] for i in dt_order]
+        ious_o = ious[dt_order][:, gt_order] if len(gts) and len(dts) else np.zeros((len(dts), len(gts)))
+
+        D, G = len(dts), len(gts)
+        dtm = np.zeros((T, D), np.int64)
+        dt_ignore = np.zeros((T, D))
+        gtm = np.zeros((T, G), np.int64)
+        iscrowd = np.array([int(g.get("iscrowd", 0)) for g in gts])
+        for t, thr in enumerate(IOU_THRS):
+            for i in range(D):
+                best_iou = min(thr, 1 - 1e-10)
+                m = -1
+                for j in range(G):
+                    if gtm[t, j] > 0 and not iscrowd[j]:
+                        continue
+                    if m > -1 and gt_ig[m] == 0 and gt_ig[j] == 1:
+                        break  # remaining gts are ignored; keep the real match
+                    if ious_o[i, j] < best_iou:
+                        continue
+                    best_iou = ious_o[i, j]
+                    m = j
+                if m == -1:
+                    continue
+                dt_ignore[t, i] = gt_ig[m]
+                dtm[t, i] = 1
+                gtm[t, m] = 1
+        # unmatched dets outside the area range are ignored
+        dt_areas = np.array([self._ann_area(d) for d in dts])
+        out_of_range = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
+        dt_ignore = np.logical_or(
+            dt_ignore, np.logical_and(dtm == 0, np.tile(out_of_range, (T, 1)))
+        )
+        scores = np.array([d["score"] for d in dts])
+        return dtm, dt_ignore, gt_ig, scores
+
+    # ------------------------------------------------------------ evaluate
+    def evaluate(self, predictions: list[dict]) -> dict:
+        dt_by_img_cat = defaultdict(list)
+        for p in predictions:
+            if p["image_id"] not in self._img_set:
+                continue
+            cat = 1 if self.class_agnostic else p["category_id"]
+            dt_by_img_cat[(p["image_id"], cat)].append(p)
+
+        K = len(self.cat_ids)
+        A = len(AREA_RANGES)
+        M = len(self.max_dets)
+        T, R = len(IOU_THRS), len(REC_THRS)
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+
+        max_det_cap = max(self.max_dets)
+        for k, cat in enumerate(self.cat_ids):
+            # per-image raw ious computed once per (img, cat)
+            per_img = []
+            for img_id in self.img_ids:
+                gts = self.gt_by_img_cat.get((img_id, cat), [])
+                dts = dt_by_img_cat.get((img_id, cat), [])
+                if not gts and not dts:
+                    continue
+                order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det_cap]
+                dts = [dts[i] for i in order]
+                ious = self._iou(dts, gts) if (gts and dts) else np.zeros((len(dts), len(gts)))
+                per_img.append((dts, gts, ious))
+            for a, (aname, arng) in enumerate(AREA_RANGES.items()):
+                for m, max_det in enumerate(self.max_dets):
+                    evals = [
+                        self._evaluate_img(dts, gts, ious, arng, max_det)
+                        for dts, gts, ious in per_img
+                    ]
+                    if not evals:
+                        continue
+                    dtm = np.concatenate([e[0] for e in evals], axis=1)
+                    dt_ig = np.concatenate([e[1] for e in evals], axis=1)
+                    gt_ig = np.concatenate([e[2] for e in evals])
+                    scores = np.concatenate([e[3] for e in evals])
+                    npig = np.sum(gt_ig == 0)
+                    if npig == 0:
+                        continue
+                    order = np.argsort(-scores, kind="mergesort")
+                    dtm = dtm[:, order]
+                    dt_ig = dt_ig[:, order]
+                    tps = np.logical_and(dtm, np.logical_not(dt_ig))
+                    fps = np.logical_and(np.logical_not(dtm), np.logical_not(dt_ig))
+                    tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
+                    fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                    for t in range(T):
+                        tp, fp = tp_sum[t], fp_sum[t]
+                        nd = len(tp)
+                        rc = tp / npig
+                        pr = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+                        recall[t, k, a, m] = rc[-1] if nd else 0.0
+                        # interpolated precision (monotone from the right)
+                        q = np.zeros(R)
+                        pr = pr.tolist()
+                        for i in range(nd - 1, 0, -1):
+                            if pr[i] > pr[i - 1]:
+                                pr[i - 1] = pr[i]
+                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        for ri, pi in enumerate(inds):
+                            if pi < nd:
+                                q[ri] = pr[pi]
+                        precision[:, :, k, a, m][t] = q
+
+        def _ap(t=None, area="all", max_det=100):
+            a = list(AREA_RANGES).index(area)
+            m = self.max_dets.index(max_det)
+            p = precision[:, :, :, a, m]
+            if t is not None:
+                p = p[[np.argmin(np.abs(IOU_THRS - t))]]
+            p = p[p > -1]
+            return float(np.mean(p)) if p.size else float("nan")
+
+        def _ar(area="all", max_det=100):
+            a = list(AREA_RANGES).index(area)
+            m = self.max_dets.index(max_det)
+            r = recall[:, :, a, m]
+            r = r[r > -1]
+            return float(np.mean(r)) if r.size else float("nan")
+
+        md = self.max_dets
+        return {
+            "AP": _ap(max_det=md[-1]),
+            "AP50": _ap(t=0.5, max_det=md[-1]),
+            "AP75": _ap(t=0.75, max_det=md[-1]),
+            "APs": _ap(area="small", max_det=md[-1]),
+            "APm": _ap(area="medium", max_det=md[-1]),
+            "APl": _ap(area="large", max_det=md[-1]),
+            f"AR{md[0]}": _ar(max_det=md[0]),
+            f"AR{md[1]}": _ar(max_det=md[1]),
+            f"AR{md[2]}": _ar(max_det=md[2]),
+            "ARs": _ar(area="small", max_det=md[-1]),
+            "ARm": _ar(area="medium", max_det=md[-1]),
+            "ARl": _ar(area="large", max_det=md[-1]),
+        }
+
+
+def evaluate_ap(gt, predictions, iou_types=("bbox",), class_agnostic=True) -> dict:
+    """Convenience wrapper: {'bbox': {...metrics}, 'segm': {...}}.
+
+    Predictions missing 'score' fall back to 'weight' then 1.0
+    (reference COCO_evaluator/main.py:55-59).
+    """
+    predictions = copy.deepcopy(predictions)
+    for p in predictions:
+        if "score" not in p:
+            p["score"] = p.get("weight", 1.0)
+    return {
+        it: COCOMetrics(gt, iou_type=it, class_agnostic=class_agnostic).evaluate(predictions)
+        for it in iou_types
+    }
