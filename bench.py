@@ -47,13 +47,14 @@ def main():
     obj_params = jax.jit(lambda k: objectness.init(k, dummy)["params"])(rng)
     cls_vars = jax.jit(lambda k: classifier.init(k, dummy, train=False))(rng)
 
-    def objectness_apply(crops, compute_center):
-        return objectness.apply({"params": obj_params}, crops)
+    def objectness_fn(variables, crops, compute_center):
+        return objectness.apply({"params": variables["objectness"]}, crops)
 
-    def classifier_apply(crops):
-        return classifier.apply(cls_vars, crops)[:, 0]
+    def classifier_fn(variables, crops):
+        return classifier.apply(variables["classifier"], crops)[:, 0]
 
-    engine = ObjectDiscoveryEngine(objectness_apply, classifier_apply, cfg)
+    variables = {"objectness": obj_params, "classifier": cls_vars}
+    engine = ObjectDiscoveryEngine(objectness_fn, classifier_fn, cfg, variables=variables)
 
     # representative fixed load
     N_SEED, N_CENTER, N_ACTIVE, N_ROUNDS = 1636, 512, 256, 50
@@ -79,23 +80,23 @@ def main():
     from unmore_tpu.reasoning.engine import _live_prefix_map
 
     @jax.jit
-    def boundary_fixed(canvas, boxes, n_active):
+    def boundary_fixed(variables, canvas, boxes, n_active):
         def one_round(i, acc):
             out_init = {
                 k: jnp.zeros((boxes.shape[0],), jnp.float32)
                 for k in ("max_sdf", "d_x1", "d_y1", "d_x2", "d_y2")
             }
             stats = _live_prefix_map(
-                functools.partial(engine._boundary_chunk_stats, canvas),
+                functools.partial(engine._boundary_chunk_stats, variables, canvas),
                 boxes, n_active, cfg.crop_chunk, out_init,
             )
             return acc + stats["max_sdf"]
         return jax.lax.fori_loop(0, N_ROUNDS, one_round, jnp.zeros((boxes.shape[0],)))
 
     def run_once():
-        _, _, scores = engine._existence_j(canvas, seed_boxes, seed_valid)
-        center = engine._center_j(canvas, hw, ctr_boxes, ctr_valid)
-        b = boundary_fixed(canvas, act_boxes, jnp.int32(N_ACTIVE))
+        _, _, scores = engine._existence_j(variables, canvas, seed_boxes, seed_valid)
+        center = engine._center_j(variables, canvas, hw, ctr_boxes, ctr_valid)
+        b = boundary_fixed(variables, canvas, act_boxes, jnp.int32(N_ACTIVE))
         jax.block_until_ready((scores, center["passed"], b))
 
     run_once()  # warmup/compile

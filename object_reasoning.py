@@ -83,7 +83,7 @@ def main(argv=None):
     classifier = build_classifier(args.dtype)
     obj_params = load_objectness_params(args.objectness_resume)
     cls_vars = load_classifier_variables(args.binary_classifier_resume)
-    objectness_apply, classifier_apply = make_apply_fns(objectness, obj_params, classifier, cls_vars)
+    objectness_fn, classifier_fn, variables = make_apply_fns(objectness, obj_params, classifier, cls_vars)
 
     cfg = ReasoningConfig(
         crop_size=args.image_size,
@@ -100,7 +100,7 @@ def main(argv=None):
         n_round=args.n_round,
         proposal_area_thres=args.proposal_area_thres,
     )
-    engine = ObjectDiscoveryEngine(objectness_apply, classifier_apply, cfg)
+    engine = ObjectDiscoveryEngine(objectness_fn, classifier_fn, cfg, variables=variables)
 
     dataset = COCOImages(args.coco_image_dir, args.coco_annotations, args.start_idx, args.end_idx)
     results = {}

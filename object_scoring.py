@@ -71,12 +71,13 @@ def main(argv=None):
     classifier = build_classifier(args.dtype)
     obj_params = load_objectness_params(args.objectness_resume)
     cls_vars = load_classifier_variables(args.binary_classifier_resume)
-    objectness_apply, classifier_apply = make_apply_fns(objectness, obj_params, classifier, cls_vars)
+    objectness_fn, classifier_fn, variables = make_apply_fns(objectness, obj_params, classifier, cls_vars)
 
     engine = ObjectScoringEngine(
-        objectness_apply,
-        classifier_apply,
+        objectness_fn,
+        classifier_fn,
         ScoringConfig(crop_size=args.image_size, canvas_size=args.canvas_size, crop_chunk=args.crop_chunk),
+        variables=variables,
     )
 
     dataset = COCOImages(args.coco_image_dir, args.coco_annotations, args.start_idx, args.end_idx)

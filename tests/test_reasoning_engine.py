@@ -52,7 +52,7 @@ def _mean_blur(x, k=9, rounds=2):
     return y[..., 0]
 
 
-def fake_objectness(crops, compute_center=True):
+def fake_objectness(variables, crops, compute_center=True):
     """Crop-conditioned like the trained net: the SDF covers only the
     crop's *dominant* object (the net is trained on single-object crops)
     and is smooth like a learned distance field; the center field keeps
@@ -70,7 +70,7 @@ def fake_objectness(crops, compute_center=True):
     return out
 
 
-def fake_classifier(crops):
+def fake_classifier(variables, crops):
     return jnp.max(crops[..., 0], axis=(1, 2))
 
 

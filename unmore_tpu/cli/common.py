@@ -74,15 +74,21 @@ def load_classifier_variables(path: str):
 
 
 def make_apply_fns(objectness, obj_params, classifier, cls_vars):
-    """(objectness_apply(crops, compute_center), classifier_apply(crops))."""
+    """Returns (objectness_fn, classifier_fn, variables) for the engines.
 
-    def objectness_apply(crops, compute_center=True):
-        return objectness.apply({"params": obj_params}, crops)
+    Model state is returned as a separate ``variables`` pytree and the
+    fns take it as their first argument: the engines pass it through jit
+    as an ARGUMENT. Closing over a 0.3B-param tree instead would make it
+    a compile-time constant and inflate compile time by >10x.
+    """
 
-    def classifier_apply(crops):
-        return classifier.apply(cls_vars, crops)[:, 0]
+    def objectness_fn(variables, crops, compute_center=True):
+        return objectness.apply({"params": variables["objectness"]}, crops)
 
-    return objectness_apply, classifier_apply
+    def classifier_fn(variables, crops):
+        return classifier.apply(variables["classifier"], crops)[:, 0]
+
+    return objectness_fn, classifier_fn, {"objectness": obj_params, "classifier": cls_vars}
 
 
 def init_random_variables(objectness, classifier, crop_size=128, seed=0):

@@ -1,0 +1,94 @@
+"""ROIAlign over FPN levels as pure XLA gathers.
+
+Replaces the torchvision/detectron2 C++/CUDA ``roi_align`` used by the
+reference ROI pooler (``cad/modeling/roi_heads/roi_heads.py:426-431``).
+Semantics follow detectron2 ROIAlignV2 (aligned=True): half-pixel
+continuous coordinates, mean over bin sample points. Sampling ratio is
+fixed at 2x2 per bin (detectron2's default "0" adapts the count per
+box, which is shape-dynamic; 2 is its value for typical box sizes and
+keeps the op jit-able — deviation documented).
+
+Level routing follows the canonical FPN rule
+level = floor(4 + log2(sqrt(area)/224)) clamped to [2, 5]; the aligned
+output is computed against every level and selected per box, trading a
+4x gather (cheap, bandwidth-bound on small crops) for static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+FPN_STRIDES = {"P2": 4, "P3": 8, "P4": 16, "P5": 32}
+
+
+def _bilinear_sample(feat: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """feat [H, W, C]; ys/xs [N, S] continuous coords. -> [N, S, C].
+
+    Out-of-bounds samples contribute zero (torchvision roi_align
+    zero-pads outside the feature map).
+    """
+    H, W, C = feat.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy1 = ys - y0
+    wx1 = xs - x0
+    out = 0.0
+    for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
+        for dx, wx in ((0, 1.0 - wx1), (1, wx1)):
+            yi = y0.astype(jnp.int32) + dy
+            xi = x0.astype(jnp.int32) + dx
+            inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            yc = jnp.clip(yi, 0, H - 1)
+            xc = jnp.clip(xi, 0, W - 1)
+            vals = feat[yc, xc]  # [N, S, C]
+            out = out + vals * (wy * wx * inb)[..., None]
+    return out
+
+
+def roi_align_level(feat: jax.Array, boxes: jax.Array, stride: int, out_size: int,
+                    sampling: int = 2) -> jax.Array:
+    """feat [H, W, C] (one level, one image); boxes [N, 4] xyxy in image
+    coords -> [N, out_size, out_size, C]."""
+    N = boxes.shape[0]
+    S = out_size * sampling
+    # aligned=True: continuous feature coords with half-pixel offset
+    x1 = boxes[:, 0] / stride - 0.5
+    y1 = boxes[:, 1] / stride - 0.5
+    x2 = boxes[:, 2] / stride - 0.5
+    y2 = boxes[:, 3] / stride - 0.5
+    bw = jnp.maximum(x2 - x1, 1e-6)
+    bh = jnp.maximum(y2 - y1, 1e-6)
+    grid = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S  # [S]
+    ys = y1[:, None] + grid[None, :] * bh[:, None]  # [N, S]
+    xs = x1[:, None] + grid[None, :] * bw[:, None]
+    # full sample grid [N, S, S]
+    ys_g = jnp.broadcast_to(ys[:, :, None], (N, S, S)).reshape(N, S * S)
+    xs_g = jnp.broadcast_to(xs[:, None, :], (N, S, S)).reshape(N, S * S)
+    vals = _bilinear_sample(feat, ys_g, xs_g)  # [N, S*S, C]
+    C = vals.shape[-1]
+    vals = vals.reshape(N, out_size, sampling, out_size, sampling, C)
+    return vals.mean(axis=(2, 4))
+
+
+def assign_levels(boxes: jax.Array, k_min: int = 2, k_max: int = 5) -> jax.Array:
+    """Canonical FPN level per box (ints in [k_min, k_max])."""
+    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0) * jnp.clip(boxes[:, 3] - boxes[:, 1], 0)
+    lvl = jnp.floor(4 + jnp.log2(jnp.sqrt(jnp.maximum(area, 1e-6)) / 224 + 1e-8))
+    return jnp.clip(lvl, k_min, k_max).astype(jnp.int32)
+
+
+def roi_align_fpn(features: dict, boxes: jax.Array, out_size: int,
+                  sampling: int = 2) -> jax.Array:
+    """features: {P2..P5: [H_l, W_l, C]} (single image); boxes [N, 4].
+
+    -> [N, out_size, out_size, C], each box pooled from its FPN level.
+    """
+    levels = assign_levels(boxes)
+    out = None
+    for name, stride in FPN_STRIDES.items():
+        lvl = int(name[1])
+        pooled = roi_align_level(features[name], boxes, stride, out_size, sampling)
+        sel = (levels == lvl)[:, None, None, None]
+        out = pooled * sel if out is None else out + pooled * sel
+    return out

@@ -126,15 +126,20 @@ class ObjectDiscoveryEngine:
 
     Parameters
     ----------
-    objectness_apply: (crops [B,S,S,3], compute_center: bool) ->
+    objectness_fn: (variables, crops [B,S,S,3], compute_center: bool) ->
         dict(sdf_maps [B,S,S], center_fields [B,S,S,2] if requested)
-    classifier_apply: crops [B,S,S,3] -> scores [B]
+    classifier_fn: (variables, crops [B,S,S,3]) -> scores [B]
+    variables: arbitrary pytree of model state, passed through jit as an
+        ARGUMENT on every call. Never close jitted functions over large
+        param trees: closure capture turns 0.3B params into compile-time
+        constants and blows compile time up by an order of magnitude.
     """
 
-    def __init__(self, objectness_apply, classifier_apply, config: ReasoningConfig = ReasoningConfig()):
+    def __init__(self, objectness_fn, classifier_fn, config: ReasoningConfig = ReasoningConfig(), variables=None):
         self.cfg = config
-        self._objectness = objectness_apply
-        self._classifier = classifier_apply
+        self._objectness = objectness_fn
+        self._classifier = classifier_fn
+        self.variables = {} if variables is None else variables
         c = config
 
         self._existence_j = jax.jit(self._existence_phase)
@@ -146,7 +151,7 @@ class ObjectDiscoveryEngine:
         self._compact_splits_j = jax.jit(functools.partial(_compact, out_slots=c.max_splits))
 
     # ------------------------------------------------------------ existence
-    def _existence_phase(self, canvas, boxes, valid):
+    def _existence_phase(self, variables, canvas, boxes, valid):
         """Existence-classifier scores per box (reference :491-523).
 
         Compacts live boxes to the front; returns (boxes, valid, scores)
@@ -158,13 +163,13 @@ class ObjectDiscoveryEngine:
 
         def chunk_fn(bc):
             crops = crop_and_resize(canvas, bc, out_size=c.crop_size, chunk=c.crop_chunk)
-            return self._classifier(crops).reshape(-1)
+            return self._classifier(variables, crops).reshape(-1)
 
         scores = _live_prefix_map(chunk_fn, boxes, n_live, c.crop_chunk, jnp.zeros((K,), jnp.float32))
         return boxes, valid, jnp.where(valid, scores, 0.0)
 
     # --------------------------------------------------------------- center
-    def _center_phase(self, canvas, hw, boxes, valid, analyze_cc: bool):
+    def _center_phase(self, variables, canvas, hw, boxes, valid, analyze_cc: bool):
         """Singularity check + box splitting + CC analysis (reference :525-580)."""
         c = self.cfg
         S = c.crop_size
@@ -174,7 +179,7 @@ class ObjectDiscoveryEngine:
 
         def chunk_fn(bc):
             crops = crop_and_resize(canvas, bc, out_size=c.crop_size, chunk=c.crop_chunk)
-            out = self._objectness(crops, True)
+            out = self._objectness(variables, crops, True)
             sing, argmax_yx, union = center_singularity_scores(out["sdf_maps"], out["center_fields"])
             res = {"sing": sing, "argmax_yx": argmax_yx}
             if analyze_cc:
@@ -254,14 +259,14 @@ class ObjectDiscoveryEngine:
         return result
 
     # ------------------------------------------------------------- boundary
-    def _boundary_chunk_stats(self, canvas, bc):
+    def _boundary_chunk_stats(self, variables, canvas, bc):
         """Per-chunk SDF stats: max value + edge deltas (reference :139-174).
 
         Reduces [chunk, S, S] fields to per-box scalars inside the chunk.
         """
         c = self.cfg
         crops = crop_and_resize(canvas, bc, out_size=c.crop_size, chunk=c.crop_chunk)
-        sdf = self._objectness(crops, False)["sdf_maps"]
+        sdf = self._objectness(variables, crops, False)["sdf_maps"]
         max_sdf = jnp.max(sdf, axis=(1, 2))
         dy, dx = image_gradients(sdf)
         grad_norm = jnp.sqrt(dy**2 + dx**2)[:, :-1, :-1]
@@ -280,7 +285,7 @@ class ObjectDiscoveryEngine:
             "d_y2": jnp.max(movement[:, -1, :], axis=1),
         }
 
-    def _boundary_phase(self, canvas, hw, boxes, valid):
+    def _boundary_phase(self, variables, canvas, hw, boxes, valid):
         """Iterative boundary-driven box evolution (reference :582-612,379-488).
 
         Returns (boxes, labels, rounds_used). labels: -1 dropped,
@@ -317,7 +322,7 @@ class ObjectDiscoveryEngine:
                 for k in ("max_sdf", "d_x1", "d_y1", "d_x2", "d_y2")
             }
             stats = _live_prefix_map(
-                functools.partial(self._boundary_chunk_stats, canvas),
+                functools.partial(self._boundary_chunk_stats, variables, canvas),
                 boxes, n_active, c.crop_chunk, out_init,
             )
             labels = jnp.where(active & (stats["max_sdf"] <= c.max_sdf_thres), -1.0, labels)
@@ -390,14 +395,14 @@ class ObjectDiscoveryEngine:
         stats = {"n_seed": n_seed}
 
         # step 1: existence checking
-        boxes, valid, scores = self._existence_j(canvas, boxes, valid)
+        boxes, valid, scores = self._existence_j(self.variables, canvas, boxes, valid)
         valid = valid & (scores >= c.class_score_thres)
         stats["n_exist"] = int(jnp.sum(valid))
         if stats["n_exist"] == 0:
             return {"boxes": np.zeros((0, 4), np.float32), "stats": stats}
 
         # step 2: center reasoning
-        center_out = self._center_j(canvas, hw, boxes, valid)
+        center_out = self._center_j(self.variables, canvas, hw, boxes, valid)
         boxes = center_out["boxes"]
         passed = center_out["passed"]
         split_boxes = center_out["split_boxes"]
@@ -412,9 +417,9 @@ class ObjectDiscoveryEngine:
 
         # re-check split proposals: existence then singularity (reference :639-646)
         if stats["n_split"] > 0:
-            split_boxes, split_valid, s_scores = self._existence_j(canvas, split_boxes, split_valid)
+            split_boxes, split_valid, s_scores = self._existence_j(self.variables, canvas, split_boxes, split_valid)
             split_valid = split_valid & (s_scores >= c.class_score_thres)
-            recheck = self._center_nocc_j(canvas, hw, split_boxes, split_valid)
+            recheck = self._center_nocc_j(self.variables, canvas, hw, split_boxes, split_valid)
             split_boxes = recheck["boxes"]
             split_passed = recheck["passed"]
         else:
@@ -429,7 +434,7 @@ class ObjectDiscoveryEngine:
             return {"boxes": np.zeros((0, 4), np.float32), "stats": stats}
 
         # step 3: boundary reasoning
-        final_boxes, labels, rounds = self._boundary_j(canvas, hw, act_boxes, act_valid)
+        final_boxes, labels, rounds = self._boundary_j(self.variables, canvas, hw, act_boxes, act_valid)
         stats["boundary_rounds"] = int(rounds)
         keep = labels == 1
         stats["n_converged"] = int(jnp.sum(keep))

@@ -41,14 +41,18 @@ class ScoringConfig:
 
 
 class ObjectScoringEngine:
-    def __init__(self, objectness_apply, classifier_apply, config: ScoringConfig = ScoringConfig()):
+    """Model fns take (variables, crops, ...) — variables are threaded
+    through jit as arguments, never closed over (see engine.py)."""
+
+    def __init__(self, objectness_fn, classifier_fn, config: ScoringConfig = ScoringConfig(), variables=None):
         self.cfg = config
-        self._objectness = objectness_apply
-        self._classifier = classifier_apply
+        self._objectness = objectness_fn
+        self._classifier = classifier_fn
+        self.variables = {} if variables is None else variables
         self._device_fn = jax.jit(self._device_scores)
         self._nms_j = jax.jit(functools.partial(nms_mask, iou_threshold=config.nms_iou))
 
-    def _device_scores(self, canvas, boxes, valid):
+    def _device_scores(self, variables, canvas, boxes, valid):
         c = self.cfg
         crops = crop_and_resize(canvas, boxes, out_size=c.crop_size, chunk=64)
 
@@ -61,8 +65,8 @@ class ObjectScoringEngine:
             ys = jax.lax.map(fn, xs)
             return jax.tree_util.tree_map(lambda y: y.reshape(-1, *y.shape[2:])[:n], ys)
 
-        fields = chunked(lambda x: self._objectness(x, True), crops)
-        exist = chunked(self._classifier, crops).reshape(-1)
+        fields = chunked(lambda x: self._objectness(variables, x, True), crops)
+        exist = chunked(lambda x: self._classifier(variables, x), crops).reshape(-1)
         sdf = fields["sdf_maps"]
         center = fields["center_fields"]
         center_norm = jnp.linalg.norm(center, axis=-1)
@@ -88,7 +92,7 @@ class ObjectScoringEngine:
         padded[:n] = boxes
         valid = np.arange(slots) < n
 
-        out = self._device_fn(jnp.asarray(canvas), jnp.asarray(padded), jnp.asarray(valid))
+        out = self._device_fn(self.variables, jnp.asarray(canvas), jnp.asarray(padded), jnp.asarray(valid))
         out = {k: np.asarray(v) for k, v in out.items()}
 
         # host: paste-back + union + tight boxes
