@@ -65,8 +65,8 @@ def decode_deltas(deltas: jax.Array, boxes: jax.Array, weights=(1.0, 1.0, 1.0, 1
     wx, wy, ww, wh = weights
     dx = deltas[..., 0] / wx
     dy = deltas[..., 1] / wy
-    dw = jnp.clip(deltas[..., 2] / ww, a_max=SCALE_CLAMP)
-    dh = jnp.clip(deltas[..., 3] / wh, a_max=SCALE_CLAMP)
+    dw = jnp.clip(deltas[..., 2] / ww, max=SCALE_CLAMP)
+    dh = jnp.clip(deltas[..., 3] / wh, max=SCALE_CLAMP)
     ncx = dx * w + cx
     ncy = dy * h + cy
     nw = jnp.exp(dw) * w

@@ -1,0 +1,293 @@
+"""Cascade Mask R-CNN (the CAD class-agnostic detector), assembled.
+
+Re-design of the reference detectron2 fork (``cad/``): R50-FPN trunk,
+RPN, 3-stage cascade box heads with DropLoss + soft targets, weighted
+mask head — one Flax module whose train/inference paths are pure
+fixed-shape functions suitable for ``jit`` on a DP mesh.
+
+Fixed-shape conventions (per image):
+  * GT lattice: [G_max] boxes + scores + validity + box-frame RoI masks
+  * RPN proposals: post-NMS lattice (4000 train / 1000 test)
+  * cascade stage lattice: 512 sampled proposals (train)
+  * detections: top 100 (DETECTIONS_PER_IMAGE)
+
+Deviations from the reference (documented):
+  * multi-scale train resizing happens on the host into a fixed square
+    canvas (XLA static shapes) instead of aspect-ratio-grouped batches;
+  * SyncBN -> BatchNorm with cross-replica axis on the mesh (or frozen
+    stats), selected by config;
+  * ROIAlign sampling ratio fixed at 2 (see roi_align.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from unmore_tpu.detector import anchors as anchor_lib
+from unmore_tpu.detector.box_ops import clip_boxes, decode_deltas
+from unmore_tpu.detector.fpn import ResNetFPN
+from unmore_tpu.detector.heads import (
+    CASCADE_IOUS,
+    CASCADE_WEIGHTS,
+    BoxHead,
+    MaskHead,
+    crop_gt_mask_to_proposals,
+    droploss_weights,
+    mask_loss_weighted,
+    match_and_label,
+    sample_stage0,
+    soft_box_reg_loss,
+    softmax_ce_soft_targets,
+)
+from unmore_tpu.detector.roi_align import roi_align_fpn
+from unmore_tpu.detector.rpn import RPNHead, generate_proposals, rpn_losses
+from unmore_tpu.ops.nms import nms_mask
+
+PIXEL_MEAN = np.array([123.675, 116.280, 103.530], np.float32) / 255.0
+PIXEL_STD = np.array([58.395, 57.120, 57.375], np.float32) / 255.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    num_classes: int = 1
+    image_size: int = 1024  # square train/test canvas
+    max_gt: int = 128
+    gt_mask_res: int = 128  # box-frame GT mask resolution
+    # RPN
+    rpn_pre_nms_topk_train: int = 2000
+    rpn_pre_nms_topk_test: int = 1000
+    rpn_post_nms_topk_train: int = 4000  # CAD yaml override
+    rpn_post_nms_topk_test: int = 1000
+    rpn_nms_thresh: float = 0.65
+    rpn_batch_per_image: int = 256
+    # cascade
+    stage_samples: int = 512
+    positive_fraction: float = 0.25
+    use_droploss: bool = True
+    droploss_iou_thresh: float = 0.01
+    use_soft_targets: bool = True
+    mask_on: bool = True
+    # test
+    test_score_thresh: float = 0.0
+    test_nms_thresh: float = 0.5
+    detections_per_image: int = 100
+    # model
+    dtype: Any = jnp.float32
+    precision: Any = None
+    bn_axis_name: str | None = None
+    stage_blocks: tuple = (3, 4, 6, 3)
+
+
+class CascadeMaskRCNN(nn.Module):
+    """Parameter container; the pipeline logic lives in the functions
+    below and calls the submodules through apply-methods."""
+
+    cfg: DetectorConfig
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = ResNetFPN(
+            out_channels=256, dtype=c.dtype, precision=c.precision,
+            bn_axis_name=c.bn_axis_name, stage_blocks=c.stage_blocks, name="backbone",
+        )
+        self.rpn_head = RPNHead(num_anchors=3, dtype=c.dtype, precision=c.precision, name="rpn")
+        self.box_heads = [
+            BoxHead(num_classes=c.num_classes, dtype=c.dtype, precision=c.precision, name=f"box_head{k}")
+            for k in range(3)
+        ]
+        self.mask_head = MaskHead(num_classes=c.num_classes, dtype=c.dtype, precision=c.precision, name="mask_head")
+
+    def __call__(self, images, train: bool = False):
+        """Backbone + RPN head (the parts with parameters + BN state)."""
+        feats = self.backbone(images, train=train)
+        rpn_out = self.rpn_head(feats)
+        return feats, rpn_out
+
+    def run_box_head(self, pooled, stage: int):
+        return self.box_heads[stage](pooled)
+
+    def run_mask_head(self, pooled):
+        return self.mask_head(pooled)
+
+    def init_all(self, images):
+        """Init-time method touching every submodule (``__call__`` alone
+        would leave the box/mask heads without parameters)."""
+        feats, rpn_out = self(images, train=False)
+        dummy7 = jnp.zeros((1, 7, 7, 256), self.cfg.dtype)
+        dummy14 = jnp.zeros((1, 14, 14, 256), self.cfg.dtype)
+        for k in range(3):
+            self.run_box_head(dummy7, k)
+        self.run_mask_head(dummy14)
+        return feats, rpn_out
+
+
+def _normalize(images):
+    return (images - PIXEL_MEAN) / PIXEL_STD
+
+
+def _level_lists(cfg, rpn_out, image_idx):
+    names = ["P2", "P3", "P4", "P5", "P6"]
+    anchors = [jnp.asarray(a) for a in anchor_lib.fpn_anchors(cfg.image_size)]
+    objectness = [rpn_out[n]["objectness"][image_idx] for n in names]
+    deltas = [rpn_out[n]["deltas"][image_idx] for n in names]
+    return anchors, objectness, deltas
+
+
+def detector_forward_train(model, variables, cfg: DetectorConfig, batch, rng):
+    """Full training forward -> dict of scalar losses (+ new batch_stats).
+
+    batch: images [B,S,S,3] in [0,1]; image_hw [B,2]; gt_boxes [B,G,4];
+    gt_scores [B,G]; gt_valid [B,G]; gt_masks [B,G,R,R];
+    is_single_object [B].
+    """
+    images = _normalize(batch["images"])
+    (feats, rpn_out), mutated = model.apply(
+        variables, images, train=True, mutable=["batch_stats"]
+    )
+
+    B = images.shape[0]
+    rngs = jax.random.split(rng, B * 4).reshape(B, 4, 2)
+    losses_acc = {}
+
+    def add(name, v):
+        losses_acc[name] = losses_acc.get(name, 0.0) + v / B
+
+    for b in range(B):
+        anchors_l, obj_l, del_l = _level_lists(cfg, rpn_out, b)
+        anchors_all = jnp.concatenate(anchors_l, axis=0)
+        obj_all = jnp.concatenate(obj_l, axis=0)
+        del_all = jnp.concatenate(del_l, axis=0)
+        gt_boxes = batch["gt_boxes"][b]
+        gt_scores = batch["gt_scores"][b]
+        gt_valid = batch["gt_valid"][b]
+        hw = batch["image_hw"][b]
+
+        rl = rpn_losses(
+            anchors_all, obj_all, del_all, gt_boxes, gt_valid, rngs[b, 0],
+            batch_size_per_image=cfg.rpn_batch_per_image,
+        )
+        for k, v in rl.items():
+            add(k, v)
+
+        proposals, p_scores, p_valid = generate_proposals(
+            anchors_l, obj_l, del_l, hw,
+            cfg.rpn_pre_nms_topk_train, cfg.rpn_post_nms_topk_train, cfg.rpn_nms_thresh,
+        )
+        proposals = jax.lax.stop_gradient(proposals)
+
+        # stage 0: sample 512 with GT appended
+        s0 = sample_stage0(
+            proposals, p_valid, gt_boxes, gt_scores, gt_valid, rngs[b, 1],
+            num_samples=cfg.stage_samples, positive_fraction=cfg.positive_fraction,
+            iou_thresh=CASCADE_IOUS[0],
+        )
+        feats_b = {n: feats[n][b] for n in ("P2", "P3", "P4", "P5")}
+
+        boxes_k = s0["boxes"]
+        match_k = {k2: s0[k2] for k2 in ("fg", "matched_idx", "gt_score", "gt_box")}
+        valid_k = s0["valid"]
+        last_stage = {}
+        for k in range(3):
+            if k > 0:
+                match_k = match_and_label(
+                    boxes_k, valid_k, gt_boxes, gt_scores, gt_valid, CASCADE_IOUS[k]
+                )
+            pooled = roi_align_fpn(feats_b, boxes_k, out_size=7)
+            scores, deltas = model.apply(
+                variables, pooled, k, method=CascadeMaskRCNN.run_box_head
+            )
+            pred_boxes = clip_boxes(
+                decode_deltas(deltas, boxes_k, weights=CASCADE_WEIGHTS[k]), hw
+            )
+            if cfg.use_droploss:
+                w = droploss_weights(
+                    jax.lax.stop_gradient(pred_boxes), gt_boxes, gt_valid,
+                    batch["is_single_object"][b], cfg.droploss_iou_thresh,
+                )
+            else:
+                w = jnp.ones(boxes_k.shape[0])
+            add(f"loss_cls_stage{k}", softmax_ce_soft_targets(
+                scores, match_k["fg"], jax.lax.stop_gradient(match_k["gt_score"]), w, valid_k
+            ))
+            add(f"loss_box_reg_stage{k}", soft_box_reg_loss(
+                boxes_k, deltas, match_k["fg"], match_k["gt_box"],
+                jax.lax.stop_gradient(match_k["gt_score"]), valid_k, CASCADE_WEIGHTS[k],
+            ))
+            last_stage = {"boxes": boxes_k, "match": match_k, "valid": valid_k}
+            boxes_k = jax.lax.stop_gradient(pred_boxes)
+
+        if cfg.mask_on:
+            # mask head on the last stage's fg proposals (d2 trains masks on
+            # the sampled fg of the final matching)
+            mb = last_stage["boxes"]
+            mm = last_stage["match"]
+            pooled = roi_align_fpn(feats_b, mb, out_size=14)
+            mask_logits = model.apply(variables, pooled, method=CascadeMaskRCNN.run_mask_head)[..., 0]
+            targets = crop_gt_mask_to_proposals(
+                batch["gt_masks"][b], gt_boxes, mm["matched_idx"], mb, out_size=mask_logits.shape[-1]
+            )
+            add("loss_mask", mask_loss_weighted(
+                mask_logits, jax.lax.stop_gradient(targets), mm["fg"],
+                jax.lax.stop_gradient(mm["gt_score"]),
+            ))
+
+    return losses_acc, mutated["batch_stats"]
+
+
+def detector_forward_inference(model, variables, cfg: DetectorConfig, images, image_hw):
+    """Inference -> dict(boxes [B,D,4], scores [B,D], valid [B,D],
+    masks [B,D,28,28] sigmoid probs in box frame)."""
+    images_n = _normalize(images)
+    feats, rpn_out = model.apply(variables, images_n, train=False)
+    B = images.shape[0]
+
+    out_boxes, out_scores, out_valid, out_masks = [], [], [], []
+    for b in range(B):
+        anchors_l, obj_l, del_l = _level_lists(cfg, rpn_out, b)
+        hw = image_hw[b]
+        proposals, _, p_valid = generate_proposals(
+            anchors_l, obj_l, del_l, hw,
+            cfg.rpn_pre_nms_topk_test, cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh,
+        )
+        feats_b = {n: feats[n][b] for n in ("P2", "P3", "P4", "P5")}
+        boxes_k = proposals
+        stage_probs = []
+        for k in range(3):
+            pooled = roi_align_fpn(feats_b, boxes_k, out_size=7)
+            scores, deltas = model.apply(variables, pooled, k, method=CascadeMaskRCNN.run_box_head)
+            stage_probs.append(jax.nn.softmax(scores, axis=-1))
+            boxes_k = clip_boxes(decode_deltas(deltas, boxes_k, weights=CASCADE_WEIGHTS[k]), hw)
+        probs = sum(stage_probs) / 3.0
+        fg_scores = probs[:, 0]  # single foreground class
+
+        valid = p_valid & (fg_scores > cfg.test_score_thresh)
+        keep = nms_mask(boxes_k, fg_scores, valid, iou_threshold=cfg.test_nms_thresh)
+        masked = jnp.where(keep, fg_scores, -jnp.inf)
+        top_scores, top_idx = jax.lax.top_k(masked, cfg.detections_per_image)
+        det_boxes = boxes_k[top_idx]
+        det_valid = jnp.isfinite(top_scores)
+        det_scores = jnp.where(det_valid, top_scores, 0.0)
+
+        if cfg.mask_on:
+            pooled = roi_align_fpn(feats_b, det_boxes, out_size=14)
+            mask_logits = model.apply(variables, pooled, method=CascadeMaskRCNN.run_mask_head)[..., 0]
+            out_masks.append(jax.nn.sigmoid(mask_logits))
+        out_boxes.append(det_boxes)
+        out_scores.append(det_scores)
+        out_valid.append(det_valid)
+
+    out = {
+        "boxes": jnp.stack(out_boxes),
+        "scores": jnp.stack(out_scores),
+        "valid": jnp.stack(out_valid),
+    }
+    if cfg.mask_on:
+        out["masks"] = jnp.stack(out_masks)
+    return out
