@@ -97,7 +97,13 @@ def main():
         _, _, scores = engine._existence_j(variables, canvas, seed_boxes, seed_valid)
         center = engine._center_j(variables, canvas, hw, ctr_boxes, ctr_valid)
         b = boundary_fixed(variables, canvas, act_boxes, jnp.int32(N_ACTIVE))
-        jax.block_until_ready((scores, center["passed"], b))
+        # force full device->host sync: on the axon relay block_until_ready
+        # returns before remote execution completes
+        return (
+            float(jnp.sum(scores))
+            + float(jnp.sum(center["passed"]))
+            + float(jnp.sum(b))
+        )
 
     run_once()  # warmup/compile
     t0 = time.perf_counter()

@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""CAD detector training/evaluation CLI (reference-compatible invocation).
+
+Mirrors the reference ``cad/train_net.py`` contract: yacs-style YAML
+configs with ``_BASE_`` inheritance, ``--eval-only``,
+``--test-dataset``/``--train-dataset`` overrides, and dotted ``opts``
+(e.g. ``MODEL.WEIGHTS path``). ``--num-gpus`` is accepted and ignored:
+parallelism comes from the JAX device mesh (all visible chips).
+
+TPU-build additions: dataset paths are given via ``--train-json``,
+``--image-root PREFIX=DIR`` (repeatable), ``--test-json``/``--test-image-dir``
+because the reference hard-codes catalog roots
+(``cad/data/datasets/builtin.py:31``).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", type=str, default=None)
+    p.add_argument("--num-gpus", type=int, default=1, help="ignored (TPU mesh)")
+    p.add_argument("--num-machines", type=int, default=1, help="ignored")
+    p.add_argument("--machine-rank", type=int, default=0, help="ignored")
+    p.add_argument("--dist-url", type=str, default=None, help="ignored")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--test-dataset", type=str, default="")
+    p.add_argument("--train-dataset", type=str, default="")
+    p.add_argument("--no-segm", action="store_true")
+    # TPU-build dataset plumbing
+    p.add_argument("--train-json", type=str, default=None)
+    p.add_argument("--image-root", action="append", default=[],
+                   help="PREFIX=DIR (e.g. coco=/data/train2017); repeatable")
+    p.add_argument("--test-json", type=str, default=None)
+    p.add_argument("--test-image-dir", type=str, default=None)
+    p.add_argument("--canvas-size", type=int, default=1024)
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args(argv)
+
+
+def build_from_config(args):
+    import jax.numpy as jnp
+
+    from unmore_tpu.detector.cascade_rcnn import DetectorConfig
+    from unmore_tpu.detector.config_yaml import apply_opts, get, load_yacs_config
+
+    cfg_yaml = load_yacs_config(args.config_file) if args.config_file else {}
+    if args.opts:
+        apply_opts(cfg_yaml, [o for o in args.opts if o != "--"])
+
+    dtypes = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+    det_cfg = DetectorConfig(
+        num_classes=get(cfg_yaml, "MODEL.ROI_HEADS.NUM_CLASSES", 1),
+        image_size=args.canvas_size,
+        rpn_post_nms_topk_train=get(cfg_yaml, "MODEL.RPN.POST_NMS_TOPK_TRAIN", 4000),
+        rpn_nms_thresh=get(cfg_yaml, "MODEL.RPN.NMS_THRESH", 0.65),
+        use_droploss=get(cfg_yaml, "MODEL.ROI_HEADS.USE_DROPLOSS", True),
+        droploss_iou_thresh=get(cfg_yaml, "MODEL.ROI_HEADS.DROPLOSS_IOU_THRESH", 0.01),
+        use_soft_targets=get(cfg_yaml, "MODEL.ROI_HEADS.USE_SOFT_TARGETS", True),
+        positive_fraction=get(cfg_yaml, "MODEL.ROI_HEADS.POSITIVE_FRACTION", 0.25),
+        mask_on=get(cfg_yaml, "MODEL.MASK_ON", True) and not args.no_segm,
+        test_score_thresh=get(cfg_yaml, "MODEL.ROI_HEADS.SCORE_THRESH_TEST", 0.0),
+        detections_per_image=get(cfg_yaml, "TEST.DETECTIONS_PER_IMAGE", 100),
+        dtype=dtypes[args.dtype],
+        bn_axis_name=None,
+    )
+    solver = {
+        "base_lr": get(cfg_yaml, "SOLVER.BASE_LR", 0.01),
+        "max_iter": get(cfg_yaml, "SOLVER.MAX_ITER", 30000),
+        "ims_per_batch": get(cfg_yaml, "SOLVER.IMS_PER_BATCH", 16),
+        "weight_decay": get(cfg_yaml, "SOLVER.WEIGHT_DECAY", 5e-5),
+        "steps": tuple(get(cfg_yaml, "SOLVER.STEPS", ()) or ()),
+        "gamma": get(cfg_yaml, "SOLVER.GAMMA", 0.02),
+        "clip_norm": get(cfg_yaml, "SOLVER.CLIP_GRADIENTS.CLIP_VALUE", 1.0),
+        "checkpoint_period": get(cfg_yaml, "SOLVER.CHECKPOINT_PERIOD", 1000),
+        "min_sizes": tuple(get(cfg_yaml, "INPUT.MIN_SIZE_TRAIN", (640, 672, 704, 736, 768, 800))),
+        "copy_paste": get(cfg_yaml, "DATALOADER.COPY_PASTE", True),
+        "copy_paste_rate": get(cfg_yaml, "DATALOADER.COPY_PASTE_RATE", 1.0),
+        "copy_paste_min_ratio": get(cfg_yaml, "DATALOADER.COPY_PASTE_MIN_RATIO", 0.3),
+        "copy_paste_max_ratio": get(cfg_yaml, "DATALOADER.COPY_PASTE_MAX_RATIO", 1.0),
+        "output_dir": get(cfg_yaml, "OUTPUT_DIR", "cad_results/run"),
+        "weights": get(cfg_yaml, "MODEL.WEIGHTS", None),
+    }
+    return det_cfg, solver, cfg_yaml
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+
+    from unmore_tpu.data.detection import DetectionDataset, detection_batch_iterator
+    from unmore_tpu.detector.cascade_rcnn import CascadeMaskRCNN
+    from unmore_tpu.detector.evaluation import DetectorEvaluator
+    from unmore_tpu.evaluation.coco_eval import evaluate_ap
+    from unmore_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
+    from unmore_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+    from unmore_tpu.train.detector import (
+        init_detector_state,
+        make_detector_optimizer,
+        make_detector_train_step,
+    )
+    from unmore_tpu.cli.common import NpEncoder
+
+    det_cfg, solver, cfg_yaml = build_from_config(args)
+    out_dir = solver["output_dir"]
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config.yaml"), "w") as f:
+        import yaml
+
+        yaml.safe_dump(cfg_yaml, f)
+
+    model = CascadeMaskRCNN(det_cfg)
+    tx = make_detector_optimizer(
+        base_lr=solver["base_lr"], weight_decay=solver["weight_decay"],
+        steps=solver["steps"], gamma=solver["gamma"], clip_norm=solver["clip_norm"],
+    )
+    state = init_detector_state(model, tx, jax.random.PRNGKey(0), det_cfg)
+    if solver["weights"] and os.path.isfile(str(solver["weights"])):
+        state = load_checkpoint(solver["weights"], target=state)
+        print(f"loaded weights from {solver['weights']}")
+
+    if args.eval_only:
+        assert args.test_json and args.test_image_dir, "--test-json/--test-image-dir required"
+        from unmore_tpu.data.coco import COCOImages
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        evaluator = DetectorEvaluator(model, variables, det_cfg)
+        dataset = COCOImages(args.test_image_dir, args.test_json)
+        preds = []
+        t0 = time.time()
+        for idx in range(len(dataset)):
+            image, image_id = dataset.get(idx)
+            preds.extend(evaluator.predict_image(image, int(image_id)))
+            print(f"[{idx + 1}/{len(dataset)}] ({(idx + 1) / (time.time() - t0):.2f} img/s)", flush=True)
+        pred_path = os.path.join(out_dir, "coco_instances_results.json")
+        with open(pred_path, "w") as f:
+            json.dump(preds, f, cls=NpEncoder)
+        tasks = ("bbox",) if args.no_segm or not det_cfg.mask_on else ("bbox", "segm")
+        metrics = evaluate_ap(args.test_json, preds, iou_types=tasks)
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics, indent=2))
+        return
+
+    assert args.train_json, "--train-json required for training"
+    image_roots = {"": "."}
+    for spec in args.image_root:
+        prefix, _, root = spec.partition("=")
+        image_roots[prefix] = root
+
+    mesh = data_parallel_mesh()
+    state = replicate(mesh, state)
+    step_fn = make_detector_train_step(model, tx, det_cfg, mesh)
+    dataset = DetectionDataset(
+        args.train_json, image_roots, canvas_size=det_cfg.image_size,
+        min_sizes=solver["min_sizes"],
+    )
+    rng = np.random.default_rng(0)
+    it = detection_batch_iterator(
+        dataset, solver["ims_per_batch"], det_cfg.max_gt, det_cfg.gt_mask_res, rng,
+        copy_paste=solver["copy_paste"], rate=solver["copy_paste_rate"],
+        min_ratio=solver["copy_paste_min_ratio"], max_ratio=solver["copy_paste_max_ratio"],
+    )
+
+    metrics_path = os.path.join(out_dir, "metrics.json")
+    t0 = time.time()
+    for it_no in range(int(state.step), solver["max_iter"]):
+        batch = next(it)
+        batch.pop("n_gt_dropped", None)
+        state, losses = step_fn(state, shard_batch(mesh, batch))
+        step_no = it_no + 1
+        if step_no % 20 == 0:
+            line = {k: round(float(v), 4) for k, v in losses.items()}
+            line["iteration"] = step_no
+            line["ips"] = round(20 * solver["ims_per_batch"] / (time.time() - t0), 2)
+            t0 = time.time()
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(line) + "\n")
+            print(line, flush=True)
+        if step_no % solver["checkpoint_period"] == 0 or step_no == solver["max_iter"]:
+            save_checkpoint(os.path.join(out_dir, f"model_{step_no:07d}.ckpt"), state)
+            print(f"* saved checkpoint at iter {step_no}")
+
+
+if __name__ == "__main__":
+    main()

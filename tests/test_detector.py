@@ -118,15 +118,15 @@ def test_mask_target_cropping():
 
 def _tiny_cfg():
     return DetectorConfig(
-        image_size=128,
+        image_size=64,
         max_gt=8,
         gt_mask_res=32,
-        rpn_pre_nms_topk_train=128,
-        rpn_pre_nms_topk_test=64,
-        rpn_post_nms_topk_train=128,
-        rpn_post_nms_topk_test=64,
-        stage_samples=32,
-        detections_per_image=10,
+        rpn_pre_nms_topk_train=64,
+        rpn_pre_nms_topk_test=32,
+        rpn_post_nms_topk_train=64,
+        rpn_post_nms_topk_test=32,
+        stage_samples=16,
+        detections_per_image=8,
         stage_blocks=(1, 1, 1, 1),
     )
 
@@ -140,9 +140,9 @@ def _tiny_batch(cfg, B=2):
     gt_masks = np.zeros((B, cfg.max_gt, cfg.gt_mask_res, cfg.gt_mask_res), np.float32)
     for b in range(B):
         for g in range(2):
-            x1, y1 = rng.rand(2) * 60
-            w, h = rng.rand(2) * 40 + 20
-            gt_boxes[b, g] = [x1, y1, x1 + w, y1 + h]
+            x1, y1 = rng.rand(2) * (cfg.image_size / 2)
+            w, h = rng.rand(2) * (cfg.image_size / 4) + 10
+            gt_boxes[b, g] = [x1, y1, min(x1 + w, cfg.image_size), min(y1 + h, cfg.image_size)]
             gt_valid[b, g] = True
             gt_scores[b, g] = 0.9
             gt_masks[b, g, 4:-4, 4:-4] = 1.0
@@ -153,7 +153,7 @@ def _tiny_batch(cfg, B=2):
         "gt_scores": jnp.asarray(gt_scores),
         "gt_valid": jnp.asarray(gt_valid),
         "gt_masks": jnp.asarray(gt_masks),
-        "is_single_object": jnp.asarray([0.0, 1.0]),
+        "is_single_object": jnp.asarray([float(b % 2) for b in range(B)]),
     }
 
 

@@ -1,0 +1,254 @@
+"""CAD detector training data pipeline (host side).
+
+Loads the merged training JSON (COCO pseudo-labels + ImageNet VoteCut,
+``merge_coco_and_imagenet.py`` output), performs:
+
+* multi-scale resize into a fixed square canvas (the XLA-friendly
+  replacement for detectron2's aspect-ratio-grouped variable batches):
+  shorter side sampled from MIN_SIZE_TRAIN, capped so the longer side
+  fits the canvas;
+* copy-paste augmentation across batch pairs (reference
+  ``cad/engine/train_loop.py:90-248``): a random subset of instances
+  from image A is resized by a random ratio, shifted, composited into
+  image B; B's occluded instances lose the pasted area, copied
+  instances with mask-IoY >= 0.5 against B's instances are dropped;
+  boxes are recomputed from masks;
+* conversion to the fixed GT lattice: [G_max] boxes (xyxy, canvas
+  coords), scores, validity, and box-frame RoI masks.
+
+``is_single_object`` is set for ``imagenet_``-prefixed image ids
+(reference ``cad/data/dataset_mapper.py:202-211``) — those images are
+exempt from DropLoss.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+
+import cv2
+import numpy as np
+
+from unmore_tpu.utils import rle as rle_codec
+
+MIN_SIZE_TRAIN = (240, 320, 480, 640, 672, 704, 736, 768, 800, 1024)
+
+
+class Instance:
+    __slots__ = ("box", "mask", "score")
+
+    def __init__(self, box, mask, score):
+        self.box = np.asarray(box, np.float32)  # xyxy
+        self.mask = mask  # [H, W] bool (canvas resolution)
+        self.score = float(score)
+
+
+def _ann_mask(ann, h, w):
+    seg = ann.get("segmentation")
+    if seg:
+        m = rle_codec.decode(seg).astype(bool)
+        if m.shape != (h, w):
+            m = cv2.resize(m.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST).astype(bool)
+        return m
+    x, y, bw, bh = ann["bbox"]
+    m = np.zeros((h, w), bool)
+    m[int(y) : int(y + bh), int(x) : int(x + bw)] = True
+    return m
+
+
+class DetectionDataset:
+    """Training JSON + image roots -> per-sample (image, instances, flags)."""
+
+    def __init__(self, training_json: str, image_roots: dict, canvas_size: int = 1024,
+                 min_sizes=MIN_SIZE_TRAIN, seed: int = 0):
+        """image_roots: {'coco': dir, 'imagenet': dir, '': fallback_dir}."""
+        with open(training_json) as f:
+            data = json.load(f)
+        self.images = data["images"]
+        self.anns_by_image = defaultdict(list)
+        for ann in data["annotations"]:
+            self.anns_by_image[str(ann["image_id"])].append(ann)
+        self.image_roots = image_roots
+        self.canvas = canvas_size
+        self.min_sizes = tuple(min_sizes)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.images)
+
+    def _resolve_path(self, info):
+        img_id = str(info["id"])
+        for prefix, root in self.image_roots.items():
+            if prefix and img_id.startswith(prefix + "_"):
+                return os.path.join(root, info["file_name"])
+        return os.path.join(self.image_roots.get("", "."), info["file_name"])
+
+    def load(self, idx: int):
+        """-> dict(image [S,S,3] float01, hw (h,w used), instances list,
+        is_single_object) or None on read failure."""
+        info = self.images[idx]
+        path = self._resolve_path(info)
+        bgr = cv2.imread(path)
+        if bgr is None:
+            return None
+        image = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        h0, w0 = image.shape[:2]
+
+        short = int(self.rng.choice(self.min_sizes))
+        scale = short / min(h0, w0)
+        scale = min(scale, self.canvas / max(h0, w0))
+        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+        image = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        canvas = np.zeros((self.canvas, self.canvas, 3), np.float32)
+        canvas[:nh, :nw] = image
+
+        instances = []
+        for ann in self.anns_by_image.get(str(info["id"]), []):
+            x, y, bw, bh = ann["bbox"]
+            box = np.array([x, y, x + bw, y + bh], np.float32) * scale
+            mask_full = _ann_mask(ann, h0, w0)
+            mask = cv2.resize(mask_full.astype(np.uint8), (nw, nh), interpolation=cv2.INTER_NEAREST)
+            cmask = np.zeros((self.canvas, self.canvas), bool)
+            cmask[:nh, :nw] = mask.astype(bool)
+            if cmask.sum() == 0:
+                continue
+            instances.append(Instance(box, cmask, ann.get("score", 1.0)))
+        return {
+            "image": canvas,
+            "hw": (nh, nw),
+            "instances": instances,
+            "is_single_object": 1.0 if str(info["id"]).startswith("imagenet_") else 0.0,
+        }
+
+
+def copy_and_paste(donor: dict, recipient: dict, rng: np.random.Generator,
+                   rate: float = 1.0, min_ratio: float = 0.3, max_ratio: float = 1.0,
+                   random_num: bool = True) -> dict:
+    """Paste a random subset of donor instances into the recipient.
+
+    Faithful to reference ``train_loop.py:125-248`` (canvas-resolution
+    variant): donor image resized by a random ratio and shifted, pasted
+    area overwrites the recipient image; recipient masks lose the pasted
+    area (dropped if emptied); copied instances with mask-IoY >= 0.5
+    against recipient masks are dropped; boxes recomputed from masks.
+    """
+    n = len(donor["instances"])
+    if rng.random() > rate or n == 0:
+        return recipient
+    num_copy = 1 if n == 1 else int(rng.integers(1, max(1, n))) if random_num else n
+    choice = rng.choice(n, num_copy, replace=False)
+    S = recipient["image"].shape[0]
+
+    ratio = rng.uniform(min_ratio, max_ratio)
+    new_size = max(int(ratio * S), 8)
+    sx = int(rng.integers(0, S - new_size + 1))
+    sy = int(rng.integers(0, S - new_size + 1))
+
+    donor_img = cv2.resize(donor["image"], (new_size, new_size), interpolation=cv2.INTER_LINEAR)
+    pasted_img = np.zeros_like(recipient["image"])
+    pasted_img[sy : sy + new_size, sx : sx + new_size] = donor_img
+
+    copied = []
+    for i in choice:
+        inst = donor["instances"][i]
+        m = cv2.resize(inst.mask.astype(np.uint8), (new_size, new_size), interpolation=cv2.INTER_NEAREST)
+        full = np.zeros((S, S), bool)
+        full[sy : sy + new_size, sx : sx + new_size] = m.astype(bool)
+        if full.sum() == 0:
+            continue
+        copied.append(Instance(inst.box, full, inst.score))
+    if not copied:
+        return recipient
+
+    rec_insts = recipient["instances"]
+    if rec_insts:
+        # drop copies that mostly cover an existing instance (IoY >= 0.5)
+        kept = []
+        for c in copied:
+            ioy = max(
+                (np.logical_and(c.mask, r.mask).sum() / max(r.mask.sum(), 1) for r in rec_insts),
+                default=0.0,
+            )
+            if ioy < 0.5:
+                kept.append(c)
+        copied = kept
+        if not copied:
+            return recipient
+
+    alpha = np.zeros((S, S), bool)
+    for c in copied:
+        alpha |= c.mask
+    out_img = np.where(alpha[..., None], pasted_img, recipient["image"])
+
+    out_insts = []
+    for r in rec_insts:
+        new_mask = r.mask & ~alpha
+        if new_mask.sum() > 0:
+            out_insts.append(Instance(r.box, new_mask, r.score))
+    out_insts.extend(copied)
+    # recompute boxes from masks (reference :236-241)
+    for inst in out_insts:
+        ys, xs = np.nonzero(inst.mask)
+        inst.box = np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1], np.float32)
+
+    return {
+        "image": out_img,
+        "hw": recipient["hw"],
+        "instances": out_insts,
+        "is_single_object": recipient["is_single_object"],
+    }
+
+
+def to_lattice(sample: dict, max_gt: int, mask_res: int) -> dict:
+    """Convert a sample to the fixed GT lattice the detector consumes."""
+    S = sample["image"].shape[0]
+    boxes = np.zeros((max_gt, 4), np.float32)
+    scores = np.zeros((max_gt,), np.float32)
+    valid = np.zeros((max_gt,), bool)
+    masks = np.zeros((max_gt, mask_res, mask_res), np.float32)
+    insts = sample["instances"][:max_gt]
+    for g, inst in enumerate(insts):
+        x1, y1, x2, y2 = np.clip(inst.box, 0, S)
+        if x2 - x1 < 1 or y2 - y1 < 1:
+            continue
+        boxes[g] = [x1, y1, x2, y2]
+        scores[g] = inst.score
+        valid[g] = True
+        crop = inst.mask[int(y1) : int(np.ceil(y2)), int(x1) : int(np.ceil(x2))]
+        masks[g] = cv2.resize(crop.astype(np.float32), (mask_res, mask_res), interpolation=cv2.INTER_LINEAR)
+    return {
+        "image": sample["image"],
+        "image_hw": np.asarray(sample["hw"], np.float32),
+        "gt_boxes": boxes,
+        "gt_scores": scores,
+        "gt_valid": valid,
+        "gt_masks": masks,
+        "is_single_object": np.float32(sample["is_single_object"]),
+        "n_gt_dropped": max(len(sample["instances"]) - max_gt, 0),
+    }
+
+
+def detection_batch_iterator(dataset: DetectionDataset, batch_size: int, max_gt: int,
+                             mask_res: int, rng: np.random.Generator,
+                             copy_paste: bool = True, **cp_kwargs):
+    """Infinite fixed-shape batches with reversed-pair copy-paste
+    (reference pairs each image with the batch reversed: :125)."""
+    n = len(dataset)
+    while True:
+        samples = []
+        while len(samples) < batch_size:
+            s = dataset.load(int(rng.integers(0, n)))
+            if s is not None:
+                samples.append(s)
+        if copy_paste:
+            donors = samples[::-1]
+            samples = [copy_and_paste(d, r, rng, **cp_kwargs) for d, r in zip(donors, samples)]
+        lattices = [to_lattice(s, max_gt, mask_res) for s in samples]
+        batch = {
+            k: np.stack([l[k] for l in lattices])
+            for k in ("image", "image_hw", "gt_boxes", "gt_scores", "gt_valid", "gt_masks", "is_single_object")
+        }
+        batch["images"] = batch.pop("image")
+        batch["n_gt_dropped"] = sum(l["n_gt_dropped"] for l in lattices)
+        yield batch

@@ -132,20 +132,13 @@ def _normalize(images):
     return (images - PIXEL_MEAN) / PIXEL_STD
 
 
-def _level_lists(cfg, rpn_out, image_idx):
-    names = ["P2", "P3", "P4", "P5", "P6"]
-    anchors = [jnp.asarray(a) for a in anchor_lib.fpn_anchors(cfg.image_size)]
-    objectness = [rpn_out[n]["objectness"][image_idx] for n in names]
-    deltas = [rpn_out[n]["deltas"][image_idx] for n in names]
-    return anchors, objectness, deltas
-
-
 def detector_forward_train(model, variables, cfg: DetectorConfig, batch, rng):
     """Full training forward -> dict of scalar losses (+ new batch_stats).
 
     batch: images [B,S,S,3] in [0,1]; image_hw [B,2]; gt_boxes [B,G,4];
     gt_scores [B,G]; gt_valid [B,G]; gt_masks [B,G,R,R];
-    is_single_object [B].
+    is_single_object [B]. The per-image pipeline is vmapped over the
+    batch so GSPMD shards it cleanly along the mesh data axis.
     """
     images = _normalize(batch["images"])
     (feats, rpn_out), mutated = model.apply(
@@ -153,42 +146,32 @@ def detector_forward_train(model, variables, cfg: DetectorConfig, batch, rng):
     )
 
     B = images.shape[0]
-    rngs = jax.random.split(rng, B * 4).reshape(B, 4, 2)
-    losses_acc = {}
+    names = ["P2", "P3", "P4", "P5", "P6"]
+    anchors_l = [jnp.asarray(a) for a in anchor_lib.fpn_anchors(cfg.image_size)]
+    anchors_all = jnp.concatenate(anchors_l, axis=0)
+    rngs = jax.random.split(rng, B * 2).reshape(B, 2, 2)
 
-    def add(name, v):
-        losses_acc[name] = losses_acc.get(name, 0.0) + v / B
-
-    for b in range(B):
-        anchors_l, obj_l, del_l = _level_lists(cfg, rpn_out, b)
-        anchors_all = jnp.concatenate(anchors_l, axis=0)
+    def per_image(feats_b, obj_l, del_l, gt_boxes, gt_scores, gt_valid, gt_masks,
+                  is_single, hw, img_rngs):
+        losses = {}
         obj_all = jnp.concatenate(obj_l, axis=0)
         del_all = jnp.concatenate(del_l, axis=0)
-        gt_boxes = batch["gt_boxes"][b]
-        gt_scores = batch["gt_scores"][b]
-        gt_valid = batch["gt_valid"][b]
-        hw = batch["image_hw"][b]
-
-        rl = rpn_losses(
-            anchors_all, obj_all, del_all, gt_boxes, gt_valid, rngs[b, 0],
+        losses.update(rpn_losses(
+            anchors_all, obj_all, del_all, gt_boxes, gt_valid, img_rngs[0],
             batch_size_per_image=cfg.rpn_batch_per_image,
-        )
-        for k, v in rl.items():
-            add(k, v)
+        ))
 
-        proposals, p_scores, p_valid = generate_proposals(
+        proposals, _, p_valid = generate_proposals(
             anchors_l, obj_l, del_l, hw,
             cfg.rpn_pre_nms_topk_train, cfg.rpn_post_nms_topk_train, cfg.rpn_nms_thresh,
         )
         proposals = jax.lax.stop_gradient(proposals)
 
-        # stage 0: sample 512 with GT appended
         s0 = sample_stage0(
-            proposals, p_valid, gt_boxes, gt_scores, gt_valid, rngs[b, 1],
+            proposals, p_valid, gt_boxes, gt_scores, gt_valid, img_rngs[1],
             num_samples=cfg.stage_samples, positive_fraction=cfg.positive_fraction,
             iou_thresh=CASCADE_IOUS[0],
         )
-        feats_b = {n: feats[n][b] for n in ("P2", "P3", "P4", "P5")}
 
         boxes_k = s0["boxes"]
         match_k = {k2: s0[k2] for k2 in ("fg", "matched_idx", "gt_score", "gt_box")}
@@ -209,54 +192,61 @@ def detector_forward_train(model, variables, cfg: DetectorConfig, batch, rng):
             if cfg.use_droploss:
                 w = droploss_weights(
                     jax.lax.stop_gradient(pred_boxes), gt_boxes, gt_valid,
-                    batch["is_single_object"][b], cfg.droploss_iou_thresh,
+                    is_single, cfg.droploss_iou_thresh,
                 )
             else:
                 w = jnp.ones(boxes_k.shape[0])
-            add(f"loss_cls_stage{k}", softmax_ce_soft_targets(
+            losses[f"loss_cls_stage{k}"] = softmax_ce_soft_targets(
                 scores, match_k["fg"], jax.lax.stop_gradient(match_k["gt_score"]), w, valid_k
-            ))
-            add(f"loss_box_reg_stage{k}", soft_box_reg_loss(
+            )
+            losses[f"loss_box_reg_stage{k}"] = soft_box_reg_loss(
                 boxes_k, deltas, match_k["fg"], match_k["gt_box"],
                 jax.lax.stop_gradient(match_k["gt_score"]), valid_k, CASCADE_WEIGHTS[k],
-            ))
+            )
             last_stage = {"boxes": boxes_k, "match": match_k, "valid": valid_k}
             boxes_k = jax.lax.stop_gradient(pred_boxes)
 
         if cfg.mask_on:
-            # mask head on the last stage's fg proposals (d2 trains masks on
-            # the sampled fg of the final matching)
+            # mask head on the last stage's proposals (d2 trains masks on
+            # the fg of the final matching)
             mb = last_stage["boxes"]
             mm = last_stage["match"]
             pooled = roi_align_fpn(feats_b, mb, out_size=14)
             mask_logits = model.apply(variables, pooled, method=CascadeMaskRCNN.run_mask_head)[..., 0]
             targets = crop_gt_mask_to_proposals(
-                batch["gt_masks"][b], gt_boxes, mm["matched_idx"], mb, out_size=mask_logits.shape[-1]
+                gt_masks, gt_boxes, mm["matched_idx"], mb, out_size=mask_logits.shape[-1]
             )
-            add("loss_mask", mask_loss_weighted(
+            losses["loss_mask"] = mask_loss_weighted(
                 mask_logits, jax.lax.stop_gradient(targets), mm["fg"],
                 jax.lax.stop_gradient(mm["gt_score"]),
-            ))
+            )
+        return losses
 
+    feats_roi = {n: feats[n] for n in ("P2", "P3", "P4", "P5")}
+    obj_levels = [rpn_out[n]["objectness"] for n in names]
+    del_levels = [rpn_out[n]["deltas"] for n in names]
+    per_image_losses = jax.vmap(per_image)(
+        feats_roi, obj_levels, del_levels,
+        batch["gt_boxes"], batch["gt_scores"], batch["gt_valid"], batch["gt_masks"],
+        batch["is_single_object"], batch["image_hw"], rngs,
+    )
+    losses_acc = {k: jnp.mean(v) for k, v in per_image_losses.items()}
     return losses_acc, mutated["batch_stats"]
 
 
 def detector_forward_inference(model, variables, cfg: DetectorConfig, images, image_hw):
     """Inference -> dict(boxes [B,D,4], scores [B,D], valid [B,D],
-    masks [B,D,28,28] sigmoid probs in box frame)."""
+    masks [B,D,28,28] sigmoid probs in box frame). vmapped per image."""
     images_n = _normalize(images)
     feats, rpn_out = model.apply(variables, images_n, train=False)
-    B = images.shape[0]
+    names = ["P2", "P3", "P4", "P5", "P6"]
+    anchors_l = [jnp.asarray(a) for a in anchor_lib.fpn_anchors(cfg.image_size)]
 
-    out_boxes, out_scores, out_valid, out_masks = [], [], [], []
-    for b in range(B):
-        anchors_l, obj_l, del_l = _level_lists(cfg, rpn_out, b)
-        hw = image_hw[b]
+    def per_image(feats_b, obj_l, del_l, hw):
         proposals, _, p_valid = generate_proposals(
             anchors_l, obj_l, del_l, hw,
             cfg.rpn_pre_nms_topk_test, cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh,
         )
-        feats_b = {n: feats[n][b] for n in ("P2", "P3", "P4", "P5")}
         boxes_k = proposals
         stage_probs = []
         for k in range(3):
@@ -273,21 +263,18 @@ def detector_forward_inference(model, variables, cfg: DetectorConfig, images, im
         top_scores, top_idx = jax.lax.top_k(masked, cfg.detections_per_image)
         det_boxes = boxes_k[top_idx]
         det_valid = jnp.isfinite(top_scores)
-        det_scores = jnp.where(det_valid, top_scores, 0.0)
-
+        out = {
+            "boxes": det_boxes,
+            "scores": jnp.where(det_valid, top_scores, 0.0),
+            "valid": det_valid,
+        }
         if cfg.mask_on:
             pooled = roi_align_fpn(feats_b, det_boxes, out_size=14)
             mask_logits = model.apply(variables, pooled, method=CascadeMaskRCNN.run_mask_head)[..., 0]
-            out_masks.append(jax.nn.sigmoid(mask_logits))
-        out_boxes.append(det_boxes)
-        out_scores.append(det_scores)
-        out_valid.append(det_valid)
+            out["masks"] = jax.nn.sigmoid(mask_logits)
+        return out
 
-    out = {
-        "boxes": jnp.stack(out_boxes),
-        "scores": jnp.stack(out_scores),
-        "valid": jnp.stack(out_valid),
-    }
-    if cfg.mask_on:
-        out["masks"] = jnp.stack(out_masks)
-    return out
+    feats_roi = {n: feats[n] for n in ("P2", "P3", "P4", "P5")}
+    obj_levels = [rpn_out[n]["objectness"] for n in names]
+    del_levels = [rpn_out[n]["deltas"] for n in names]
+    return jax.vmap(per_image)(feats_roi, obj_levels, del_levels, image_hw)

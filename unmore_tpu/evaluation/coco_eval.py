@@ -65,7 +65,9 @@ def bbox_iou(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
 
 
 def _segm_iou(dt_rles, gt_rles, iscrowd):
-    return rle_codec.iou(dt_rles, gt_rles, iscrowd=iscrowd)
+    from unmore_tpu import native
+
+    return native.mask_iou(dt_rles, gt_rles, iscrowd=iscrowd)
 
 
 class COCOMetrics:

@@ -28,7 +28,7 @@ import numpy as np
 
 from unmore_tpu.ops.image import crop_and_resize, paste_mask_into_canvas
 from unmore_tpu.ops.nms import nms_mask
-from unmore_tpu.utils import rle as rle_codec
+from unmore_tpu import native as rle_codec  # C++ RLE fast path (numpy fallback inside)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,7 +103,12 @@ class ObjectScoringEngine:
             bm = paste_mask_into_canvas(out["boundary_mask"][i].astype(np.float32), boxes[i], (h, w))
             union = ((cm + bm) > 0).astype(np.uint8)
             union_masks.append(union)
-            x, y, bw, bh = rle_codec.to_bbox(rle_codec.encode(union))
+            ys, xs = np.nonzero(union)
+            if len(ys):
+                x, y = float(xs.min()), float(ys.min())
+                bw, bh = float(xs.max() - xs.min() + 1), float(ys.max() - ys.min() + 1)
+            else:
+                x = y = bw = bh = 0.0
             tight[i] = [x, y, x + bw, y + bh]
 
         keep = np.asarray(
