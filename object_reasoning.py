@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--max_proposals", type=int, default=2048)
     p.add_argument("--max_active", type=int, default=1024)
     p.add_argument("--crop_chunk", type=int, default=32)
+    p.add_argument("--use_pallas_decode", action="store_true",
+                   help="fused Pallas center-decode kernel (TPU)")
     return p.parse_args(argv)
 
 
@@ -99,6 +101,7 @@ def main(argv=None):
         delta_ratio=args.delta_ratio,
         n_round=args.n_round,
         proposal_area_thres=args.proposal_area_thres,
+        use_pallas_decode=args.use_pallas_decode,
     )
     engine = ObjectDiscoveryEngine(objectness_fn, classifier_fn, cfg, variables=variables)
 

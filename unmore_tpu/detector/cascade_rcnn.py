@@ -176,7 +176,6 @@ def detector_forward_train(model, variables, cfg: DetectorConfig, batch, rng):
         boxes_k = s0["boxes"]
         match_k = {k2: s0[k2] for k2 in ("fg", "matched_idx", "gt_score", "gt_box")}
         valid_k = s0["valid"]
-        last_stage = {}
         for k in range(3):
             if k > 0:
                 match_k = match_and_label(
@@ -203,14 +202,15 @@ def detector_forward_train(model, variables, cfg: DetectorConfig, batch, rng):
                 boxes_k, deltas, match_k["fg"], match_k["gt_box"],
                 jax.lax.stop_gradient(match_k["gt_score"]), valid_k, CASCADE_WEIGHTS[k],
             )
-            last_stage = {"boxes": boxes_k, "match": match_k, "valid": valid_k}
             boxes_k = jax.lax.stop_gradient(pred_boxes)
 
         if cfg.mask_on:
-            # mask head on the last stage's proposals (d2 trains masks on
-            # the fg of the final matching)
-            mb = last_stage["boxes"]
-            mm = last_stage["match"]
+            # mask head trains on the STAGE-0 sampled proposals (d2
+            # CascadeROIHeads passes the outer `proposals` — which still
+            # hold the stage-0 sampling with appended GT — to
+            # _forward_mask; cad/modeling/roi_heads/roi_heads.py:889-917)
+            mb = s0["boxes"]
+            mm = {k2: s0[k2] for k2 in ("fg", "matched_idx", "gt_score", "gt_box")}
             pooled = roi_align_fpn(feats_b, mb, out_size=14)
             mask_logits = model.apply(variables, pooled, method=CascadeMaskRCNN.run_mask_head)[..., 0]
             targets = crop_gt_mask_to_proposals(

@@ -65,15 +65,41 @@ def load_torch_checkpoint(path: str) -> dict:
     return {k: _np(v) for k, v in sd.items()}
 
 
+def _convert_hybrid_resnet(sd: Mapping[str, Any], p: dict):
+    """timm ResNetV2 trunk of vit_base_resnet50_384 -> HybridViTBackbone.resnet."""
+    t = "backbone.pretrained.model.patch_embed.backbone."
+    rn = ("backbone", "vit", "resnet")
+    _set(p, rn + ("stem_conv", "kernel"), _conv(sd[t + "stem.conv.weight"]))
+    _set(p, rn + ("stem_norm", "scale"), _vec(sd[t + "stem.norm.weight"]))
+    _set(p, rn + ("stem_norm", "bias"), _vec(sd[t + "stem.norm.bias"]))
+    for s in range(3):
+        b = 0
+        while t + f"stages.{s}.blocks.{b}.conv1.weight" in sd:
+            bt = t + f"stages.{s}.blocks.{b}."
+            bf = rn + (f"stage{s}_block{b}",)
+            for c in ("conv1", "conv2", "conv3"):
+                _set(p, bf + (c, "kernel"), _conv(sd[bt + c + ".weight"]))
+            for n in ("norm1", "norm2", "norm3"):
+                _set(p, bf + (n, "scale"), _vec(sd[bt + n + ".weight"]))
+                _set(p, bf + (n, "bias"), _vec(sd[bt + n + ".bias"]))
+            if bt + "downsample.conv.weight" in sd:
+                _set(p, bf + ("downsample", "kernel"), _conv(sd[bt + "downsample.conv.weight"]))
+            b += 1
+
+
 def convert_objectness_state_dict(sd: Mapping[str, Any]) -> dict:
-    """Reference ObjectnessNet (dpt_large/dpt_base) state_dict -> flax params."""
+    """Reference ObjectnessNet state_dict (dpt_large/dpt_base/dpt_hybrid)
+    -> flax params."""
     p: dict = {}
     vit = ("backbone", "vit")
+    hybrid = "backbone.pretrained.model.patch_embed.backbone.stem.conv.weight" in sd
 
     _set(p, vit + ("cls_token",), _vec(sd["backbone.pretrained.model.cls_token"]))
     _set(p, vit + ("pos_embed",), _vec(sd["backbone.pretrained.model.pos_embed"]))
     _set(p, vit + ("patch_embed", "kernel"), _conv(sd["backbone.pretrained.model.patch_embed.proj.weight"]))
     _set(p, vit + ("patch_embed", "bias"), _vec(sd["backbone.pretrained.model.patch_embed.proj.bias"]))
+    if hybrid:
+        _convert_hybrid_resnet(sd, p)
 
     block_ids = sorted(
         {int(m.group(1)) for k in sd if (m := re.match(r"backbone\.pretrained\.model\.blocks\.(\d+)\.", k))}
@@ -94,10 +120,13 @@ def convert_objectness_state_dict(sd: Mapping[str, Any]) -> dict:
         _set(p, b + ("mlp", "fc2", "kernel"), _linear(sd[t + "mlp.fc2.weight"]))
         _set(p, b + ("mlp", "fc2", "bias"), _vec(sd[t + "mlp.fc2.bias"]))
 
-    # reassemble paths: act_postprocess{n} (1-indexed)
+    # reassemble paths: act_postprocess{n} (1-indexed); the hybrid's
+    # paths 1/2 are identities with no params (reference vit.py:438-443)
     for n in range(1, 5):
         t = f"backbone.pretrained.act_postprocess{n}."
         i = n - 1
+        if t + "0.project.0.weight" not in sd:
+            continue
         _set(p, ("backbone", f"readout{i}", "project", "kernel"), _linear(sd[t + "0.project.0.weight"]))
         _set(p, ("backbone", f"readout{i}", "project", "bias"), _vec(sd[t + "0.project.0.bias"]))
         _set(p, ("backbone", f"reassemble{i}", "kernel"), _conv(sd[t + "3.weight"]))

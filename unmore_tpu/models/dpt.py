@@ -27,6 +27,9 @@ from unmore_tpu.ops.image import resize_bilinear
 DPT_BACKBONE_SPECS = {
     "vitl16_384": dict(vit="vitl16_384", features=(256, 512, 1024, 1024), hooks=(5, 11, 17, 23)),
     "vitb16_384": dict(vit="vitb16_384", features=(96, 192, 384, 768), hooks=(2, 5, 8, 11)),
+    # hybrid: taps 1/2 come from the ResNetV2 stages (identity reassemble,
+    # reference vit.py:438-443), taps 3/4 from ViT blocks 8/11
+    "vitb_rn50_384": dict(vit="vitb16_384", features=(256, 512, 768, 768), hooks=(8, 11)),
 }
 
 
@@ -97,6 +100,7 @@ class DPTFeatureExtractor(nn.Module):
     vit_config: Any = None
     hooks: Sequence[int] | None = None
     widths: Sequence[int] | None = None
+    hybrid_resnet_kwargs: Any = None  # test override (miniature dims)
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -110,14 +114,25 @@ class DPTFeatureExtractor(nn.Module):
             spec["features"] = tuple(self.widths)
         B, H, W, _ = x.shape
         gh, gw = H // vit_cfg.patch, W // vit_cfg.patch
-
-        taps = ViTBackbone(
-            vit_cfg, spec["hooks"], dtype=self.dtype, precision=self.precision, name="vit"
-        )(x)
-
         widths = spec["features"]
-        maps = []
-        for i, tokens in enumerate(taps):
+
+        if self.backbone == "vitb_rn50_384":
+            from unmore_tpu.models.hybrid import HybridViTBackbone
+
+            s1, s2, t3, t4 = HybridViTBackbone(
+                config=vit_cfg, hooks=spec["hooks"], dtype=self.dtype,
+                precision=self.precision, resnet_kwargs=self.hybrid_resnet_kwargs, name="vit",
+            )(x)
+            maps = [s1, s2]
+            token_taps = [(2, t3), (3, t4)]
+        else:
+            taps = ViTBackbone(
+                vit_cfg, spec["hooks"], dtype=self.dtype, precision=self.precision, name="vit"
+            )(x)
+            maps = []
+            token_taps = list(enumerate(taps))
+
+        for i, tokens in token_taps:
             t = ProjectReadout(vit_cfg.dim, self.dtype, self.precision, name=f"readout{i}")(tokens)
             fmap = t.reshape(B, gh, gw, vit_cfg.dim)
             fmap = nn.Conv(widths[i], (1, 1), dtype=self.dtype, precision=self.precision, name=f"reassemble{i}")(fmap)

@@ -22,7 +22,11 @@ from flax import linen as nn
 
 from unmore_tpu.models.dpt import DPTFeatureExtractor
 
-BACKBONE_ALIASES = {"dpt_large": "vitl16_384", "dpt_base": "vitb16_384"}
+BACKBONE_ALIASES = {
+    "dpt_large": "vitl16_384",
+    "dpt_base": "vitb16_384",
+    "dpt_hybrid": "vitb_rn50_384",
+}
 
 
 class ConvHead(nn.Module):
@@ -54,6 +58,7 @@ class ObjectnessNet(nn.Module):
     vit_config: Any = None  # test override (miniature dims)
     hooks: Any = None
     widths: Any = None
+    hybrid_resnet_kwargs: Any = None
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -67,6 +72,7 @@ class ObjectnessNet(nn.Module):
             vit_config=self.vit_config,
             hooks=self.hooks,
             widths=self.widths,
+            hybrid_resnet_kwargs=self.hybrid_resnet_kwargs,
             dtype=self.dtype,
             precision=self.precision,
             name="backbone",

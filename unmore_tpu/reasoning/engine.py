@@ -75,6 +75,9 @@ class ReasoningConfig:
     n_round: int = 50
     proposal_area_thres: float = 50.0
     nms_iou: float = 0.5
+    # fused Pallas decode kernel for the center phase (TPU only;
+    # bit-exact vs the XLA path — ops/pallas/decode.py)
+    use_pallas_decode: bool = False
 
     def __post_init__(self):
         for field in ("max_proposals", "max_splits", "max_active"):
@@ -180,7 +183,12 @@ class ObjectDiscoveryEngine:
         def chunk_fn(bc):
             crops = crop_and_resize(canvas, bc, out_size=c.crop_size, chunk=c.crop_chunk)
             out = self._objectness(variables, crops, True)
-            sing, argmax_yx, union = center_singularity_scores(out["sdf_maps"], out["center_fields"])
+            if c.use_pallas_decode:
+                from unmore_tpu.ops.pallas.decode import fused_center_decode
+
+                sing, argmax_yx, union = fused_center_decode(out["sdf_maps"], out["center_fields"])
+            else:
+                sing, argmax_yx, union = center_singularity_scores(out["sdf_maps"], out["center_fields"])
             res = {"sing": sing, "argmax_yx": argmax_yx}
             if analyze_cc:
                 def one(mask):
