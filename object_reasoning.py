@@ -68,6 +68,7 @@ def main(argv=None):
     )
     from unmore_tpu.data.coco import COCOImages
     from unmore_tpu.reasoning.engine import ObjectDiscoveryEngine, ReasoningConfig
+    from unmore_tpu.utils.profiling import StageTimer, profiler_trace
 
     if args.run_name is None:
         args.run_name = (
@@ -107,10 +108,13 @@ def main(argv=None):
 
     dataset = COCOImages(args.coco_image_dir, args.coco_annotations, args.start_idx, args.end_idx)
     results = {}
+    timer = StageTimer()
     t0 = time.time()
     for idx in range(len(dataset)):
-        image, image_id = dataset.get(idx)
-        out = engine.discover(image)
+        with timer.stage("load"):
+            image, image_id = dataset.get(idx)
+        with timer.stage("discover"):
+            out = engine.discover(image)
         if len(out["boxes"]):
             results[int(image_id)] = out["boxes"]
         done = idx + 1
@@ -123,6 +127,7 @@ def main(argv=None):
     out_path = os.path.join(result_folder, "discovery_results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2, cls=NpEncoder)
+    timer.dump(os.path.join(result_folder, "stage_timings.json"))
     print("wrote", out_path)
 
 

@@ -1,0 +1,54 @@
+"""Aux subsystem tests: stage timing, PreciseBN, config round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from unmore_tpu.config import ModelConfig, TrainObjectnessConfig, load_config, save_config
+from unmore_tpu.models.resnet import BinaryClassifier
+from unmore_tpu.train.classifier import init_classifier_state
+from unmore_tpu.train.precise_bn import precise_bn_stats
+from unmore_tpu.utils.profiling import StageTimer
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["b"]["count"] == 1
+    assert s["a"]["total_s"] >= 0
+
+
+def test_precise_bn_recovers_true_statistics():
+    model = BinaryClassifier(stage_blocks=(1,))
+    state = init_classifier_state(model, optax.sgd(0.1), jax.random.PRNGKey(0), image_size=32)
+
+    def apply_fn(variables, batch):
+        _, mutated = model.apply(variables, batch, train=True, mutable=["batch_stats"])
+        return mutated["batch_stats"]
+
+    rng = np.random.RandomState(0)
+    batches = [jnp.asarray(rng.rand(8, 32, 32, 3) * 2.0, jnp.float32) for _ in range(8)]
+    new_stats = precise_bn_stats(apply_fn, state.params, state.batch_stats, batches)
+    # first BN sees conv1 outputs; its recovered mean must differ from the
+    # init zeros and match a direct average of per-batch raw stats
+    leaf_old = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    leaf_new = jax.tree_util.tree_leaves(new_stats)[0]
+    assert not np.allclose(np.asarray(leaf_old), np.asarray(leaf_new))
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(new_stats)[1])).all()
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = TrainObjectnessConfig(model=ModelConfig(backbone_type="dpt_hybrid"), batch_size=7)
+    path = str(tmp_path / "cfg.json")
+    save_config(cfg, path)
+    loaded = load_config(TrainObjectnessConfig, path)
+    assert loaded.model.backbone_type == "dpt_hybrid"
+    assert loaded.batch_size == 7
+    assert loaded.optim.learning_rate == cfg.optim.learning_rate
