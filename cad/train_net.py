@@ -42,6 +42,8 @@ def parse_args(argv=None):
                    help="PREFIX=DIR (e.g. coco=/data/train2017); repeatable")
     p.add_argument("--test-json", type=str, default=None)
     p.add_argument("--test-image-dir", type=str, default=None)
+    p.add_argument("--data-root", type=str, default=None,
+                   help="resolve --test-dataset names via the dataset registry")
     p.add_argument("--canvas-size", type=int, default=1024)
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
@@ -133,7 +135,11 @@ def main(argv=None):
         print(f"loaded weights from {solver['weights']}")
 
     if args.eval_only:
-        assert args.test_json and args.test_image_dir, "--test-json/--test-image-dir required"
+        if args.test_dataset and args.data_root:
+            from unmore_tpu.data.registry import resolve_dataset
+
+            args.test_image_dir, args.test_json = resolve_dataset(args.test_dataset, args.data_root)
+        assert args.test_json and args.test_image_dir, "--test-json/--test-image-dir (or --test-dataset with --data-root) required"
         from unmore_tpu.data.coco import COCOImages
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}

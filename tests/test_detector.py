@@ -196,3 +196,23 @@ def test_detector_train_and_inference_end_to_end():
     assert out["scores"].shape == (2, cfg.detections_per_image)
     assert out["masks"].shape == (2, cfg.detections_per_image, 28, 28)
     assert np.isfinite(np.asarray(out["scores"])[np.asarray(out["valid"])]).all()
+
+
+def test_detector_inference_with_given_boxes():
+    from unmore_tpu.detector.cascade_rcnn import detector_forward_with_boxes
+
+    cfg = _tiny_cfg()
+    model = CascadeMaskRCNN(cfg)
+    batch = _tiny_batch(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["images"], method=CascadeMaskRCNN.init_all
+    )
+    boxes = jnp.asarray(np.tile(np.array([[5.0, 5, 40, 40], [10, 10, 50, 50]], np.float32), (2, 1, 1)))
+    valid = jnp.ones((2, 2), bool)
+    out = detector_forward_with_boxes(
+        model, variables, cfg, batch["images"], batch["image_hw"], boxes, valid
+    )
+    assert out["boxes"].shape == (2, 2, 4)
+    assert out["scores"].shape == (2, 2)
+    assert out["masks"].shape == (2, 2, 28, 28)
+    assert np.isfinite(np.asarray(out["scores"])).all()

@@ -1,0 +1,82 @@
+"""Dataset-construction tooling tests: VoteCut preprocessing, COCO* merge,
+dataset registry."""
+
+import json
+import os
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+
+from unmore_tpu.data.registry import EVAL_DATASETS, resolve_dataset
+from unmore_tpu.utils import rle
+from coco_star.merge_extra_labels import merge_annotations, to_class_agnostic
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_registry_resolves_all_names(tmp_path):
+    for name in EVAL_DATASETS:
+        img_dir, ann = resolve_dataset(name, str(tmp_path))
+        assert ann.endswith(".json")
+    try:
+        resolve_dataset("nope", str(tmp_path))
+        assert False
+    except KeyError:
+        pass
+
+
+def test_coco_star_merge():
+    original = {
+        "images": [{"id": 1}],
+        "annotations": [{"id": 7, "image_id": 1, "category_id": 3, "bbox": [0, 0, 5, 5]}],
+        "categories": [{"id": 3, "name": "cat"}],
+    }
+    extra = {
+        "images": [{"id": 1}],
+        "annotations": [{"id": 9, "image_id": 1, "category_id": 99, "bbox": [5, 5, 5, 5]}],
+        "categories": [{"id": 99, "name": "weird"}, {"id": 3, "name": "cat"}],
+    }
+    merged = merge_annotations(original, extra)
+    assert [c["id"] for c in merged["categories"]] == [3, 99]
+    assert [a["id"] for a in merged["annotations"]] == [0, 1]
+    agnostic = to_class_agnostic(merged)
+    assert all(a["category_id"] == 1 for a in agnostic["annotations"])
+    assert agnostic["categories"] == [{"id": 1, "name": "fg", "supercategory": "fg"}]
+
+
+def test_preprocess_votecut_top1_and_full(tmp_path):
+    # two annotations; top-1 by weight has two components -> keep largest
+    m1 = np.zeros((20, 20), np.uint8)
+    m1[2:8, 2:8] = 1  # 36 px
+    m1[12:15, 12:15] = 1  # 9 px, smaller component
+    m2 = np.zeros((20, 20), np.uint8)
+    m2[10:12, 0:2] = 1
+    ann_file = tmp_path / "votecut.json"
+    with open(ann_file, "w") as f:
+        json.dump(
+            {
+                "images": [{"id": 1, "file_name": "n01/x.JPEG", "height": 20, "width": 20}],
+                "annotations": [
+                    {"id": 1, "image_id": 1, "weight": 0.9, "segmentation": rle.encode(m1)},
+                    {"id": 2, "image_id": 1, "weight": 0.2, "segmentation": rle.encode(m2)},
+                ],
+            },
+            f,
+        )
+    for mode, sub in (("top1", "masks_top1_single_component"), ("full", "masks")):
+        out = tmp_path / mode
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "utils", "preprocess_votecut.py"),
+             "--annotation_file", str(ann_file), "--dest_folder", str(out), "--mode", mode],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        png = cv2.imread(str(out / sub / "n01" / "x.png"), cv2.IMREAD_GRAYSCALE)
+        assert png is not None
+        if mode == "top1":
+            assert (png[2:8, 2:8] == 255).all()
+            assert (png[12:15, 12:15] == 0).all()  # smaller component dropped
+        else:
+            assert set(np.unique(png)) == {0, 1, 2}

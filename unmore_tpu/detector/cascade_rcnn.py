@@ -278,3 +278,36 @@ def detector_forward_inference(model, variables, cfg: DetectorConfig, images, im
     obj_levels = [rpn_out[n]["objectness"] for n in names]
     del_levels = [rpn_out[n]["deltas"] for n in names]
     return jax.vmap(per_image)(feats_roi, obj_levels, del_levels, image_hw)
+
+
+def detector_forward_with_boxes(model, variables, cfg: DetectorConfig, images, image_hw,
+                                boxes, boxes_valid):
+    """External-proposal inference (the reference's ``use_proposals`` /
+    ``predict_with_prior`` mode, ``cad/modeling/meta_arch/rcnn.py:182-227``,
+    ``cad/engine/defaults.py:333-351``): skip the RPN and run the cascade
+    + mask head on caller-provided boxes [B, P, 4]."""
+    images_n = _normalize(images)
+    feats, _ = model.apply(variables, images_n, train=False)
+
+    def per_image(feats_b, hw, boxes_b, valid_b):
+        boxes_k = boxes_b
+        stage_probs = []
+        for k in range(3):
+            pooled = roi_align_fpn(feats_b, boxes_k, out_size=7)
+            scores, deltas = model.apply(variables, pooled, k, method=CascadeMaskRCNN.run_box_head)
+            stage_probs.append(jax.nn.softmax(scores, axis=-1))
+            boxes_k = clip_boxes(decode_deltas(deltas, boxes_k, weights=CASCADE_WEIGHTS[k]), hw)
+        probs = sum(stage_probs) / 3.0
+        out = {
+            "boxes": boxes_k,
+            "scores": jnp.where(valid_b, probs[:, 0], 0.0),
+            "valid": valid_b,
+        }
+        if cfg.mask_on:
+            pooled = roi_align_fpn(feats_b, boxes_k, out_size=14)
+            mask_logits = model.apply(variables, pooled, method=CascadeMaskRCNN.run_mask_head)[..., 0]
+            out["masks"] = jax.nn.sigmoid(mask_logits)
+        return out
+
+    feats_roi = {n: feats[n] for n in ("P2", "P3", "P4", "P5")}
+    return jax.vmap(per_image)(feats_roi, image_hw, boxes, boxes_valid)
