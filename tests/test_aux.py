@@ -52,3 +52,22 @@ def test_config_roundtrip(tmp_path):
     assert loaded.model.backbone_type == "dpt_hybrid"
     assert loaded.batch_size == 7
     assert loaded.optim.learning_rate == cfg.optim.learning_rate
+
+
+def test_visualization_dump(tmp_path):
+    from unmore_tpu.utils.vis import dump_objectness_diagnostics
+    import os
+
+    rng = np.random.RandomState(0)
+    out = dump_objectness_diagnostics(
+        str(tmp_path), "iter100_s0",
+        image=rng.rand(32, 32, 3).astype(np.float32),
+        pred_center=rng.randn(32, 32, 2).astype(np.float32),
+        pred_sdf=rng.randn(32, 32).astype(np.float32),
+        gt_center=rng.randn(32, 32, 2).astype(np.float32),
+        gt_sdf=rng.randn(32, 32).astype(np.float32),
+        gt_mask=(rng.rand(32, 32) > 0.5).astype(np.float32),
+    )
+    files = os.listdir(out)
+    assert len(files) == 8
+    assert all(f.startswith("iter100_s0_") and f.endswith(".png") for f in files)

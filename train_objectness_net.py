@@ -155,7 +155,8 @@ def train_center_and_boundary(args):
     losses = []
     t0 = time.time()
     for iteration in range(start_iter, args.train_iter + 1):
-        batch = shard_batch(mesh, next(it))
+        host_batch = next(it)
+        batch = shard_batch(mesh, host_batch)
         state, metrics = step_fn(state, batch)
         losses.append(float(metrics["total"]))
         step_no = iteration + 1
@@ -163,6 +164,24 @@ def train_center_and_boundary(args):
             path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
             save_checkpoint(path, state)
             print(f"* saved checkpoint {path}")
+        if step_no % args.visualize_every == 0:
+            from unmore_tpu.utils.vis import dump_objectness_diagnostics
+            import jax as _jax
+            import numpy as _np
+
+            out = model.apply({"params": _jax.device_get(state.params)}, host_batch["image"][:args.N_vis])
+            vis_dir = os.path.join(result_folder, "imgs", f"iter_{step_no}")
+            for s_idx in range(min(args.N_vis, len(host_batch["image"]))):
+                dump_objectness_diagnostics(
+                    vis_dir, f"s{s_idx}",
+                    image=host_batch["image"][s_idx],
+                    pred_center=_np.asarray(out["center_fields"][s_idx]),
+                    pred_sdf=_np.asarray(out["sdf_maps"][s_idx]),
+                    gt_center=host_batch["center_field"][s_idx],
+                    gt_sdf=host_batch["sdf"][s_idx],
+                    gt_mask=host_batch["saliency_mask"][s_idx],
+                )
+            print(f"* wrote diagnostics to {vis_dir}")
         if step_no % args.log_every == 0:
             avg = sum(losses) / len(losses)
             losses = []
