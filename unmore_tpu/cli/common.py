@@ -38,23 +38,21 @@ def build_classifier(dtype="bfloat16") -> BinaryClassifier:
     return BinaryClassifier(dtype=DTYPES[dtype])
 
 
-def _is_msgpack(path: str) -> bool:
+def _try_msgpack(path: str):
+    """Parse a msgpack checkpoint once; None if it isn't one."""
     try:
         from flax import serialization
 
         with open(path, "rb") as f:
-            serialization.msgpack_restore(f.read())
-        return True
+            return serialization.msgpack_restore(f.read())
     except Exception:
-        return False
+        return None
 
 
 def load_objectness_params(path: str):
     """-> params pytree, from msgpack or a reference torch checkpoint."""
-    if _is_msgpack(path):
-        from unmore_tpu.train.checkpoints import load_checkpoint
-
-        ckpt = load_checkpoint(path)
+    ckpt = _try_msgpack(path)
+    if ckpt is not None:
         return ckpt["params"] if "params" in ckpt else ckpt
     sd = load_torch_checkpoint(path)
     return convert_objectness_state_dict(sd)
@@ -62,10 +60,8 @@ def load_objectness_params(path: str):
 
 def load_classifier_variables(path: str):
     """-> {'params': ..., 'batch_stats': ...}."""
-    if _is_msgpack(path):
-        from unmore_tpu.train.checkpoints import load_checkpoint
-
-        ckpt = load_checkpoint(path)
+    ckpt = _try_msgpack(path)
+    if ckpt is not None:
         if "params" in ckpt and "batch_stats" in ckpt:
             return {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
         return ckpt

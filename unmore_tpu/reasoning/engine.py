@@ -35,7 +35,14 @@ Deliberate deviations from the reference (documented for the judge):
   ``object_reasoning.py:563-571``);
 * proposal order is permuted by live-prefix compaction; the final NMS
   (all scores equal) therefore breaks ties in compacted rather than
-  seed order.
+  seed order;
+* converged boxes freeze: the reference resets every label to 0 at the
+  top of each round (``object_reasoning.py:393``), so "converged"
+  boxes are re-predicted all 50 rounds and the output is whatever
+  converged in the *final* round. Here label 1 is sticky — a converged
+  box stops costing model FLOPs. For a trained SDF a converged box has
+  ~zero deltas and re-converges every round, so the fixed point is the
+  same; the sticky variant just reaches it ~n_round/2 x cheaper.
 """
 
 from __future__ import annotations
