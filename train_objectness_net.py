@@ -202,7 +202,11 @@ def train_existence(args):
     from unmore_tpu.models.resnet import BinaryClassifier
     from unmore_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
     from unmore_tpu.train.checkpoints import load_checkpoint, save_checkpoint
-    from unmore_tpu.train.classifier import init_classifier_state, make_classifier_train_step
+    from unmore_tpu.train.classifier import (
+        init_classifier_state,
+        make_classifier_train_step,
+        make_eval_step,
+    )
 
     result_folder = _make_run_dir(args, "existence")
     train_log_path = os.path.join(result_folder, "train_log.json")
@@ -242,6 +246,9 @@ def train_existence(args):
                 full = top1
             return classifier_sample(image, top1, full, args.image_size, rng)
 
+    eval_step = make_eval_step(model)
+    eval_log_path = os.path.join(result_folder, "eval_log.json")
+
     losses = []
     t0 = time.time()
     for iteration in range(start_iter, args.train_iter + 1):
@@ -260,6 +267,27 @@ def train_existence(args):
             path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
             save_checkpoint(path, state)
             print(f"* saved checkpoint {path}")
+        if step_no % args.evaluate_every == 0:
+            # accuracy at 0.5 on freshly drawn samples
+            # (reference evaluate_classification + eval_log.json,
+            # train_objectness_net.py:703-743)
+            import jax as _jax
+
+            hits = total = 0.0
+            for _ in range(max(1, args.test_batch_size // args.batch_size * 4)):
+                es = [sample() for _ in range(args.batch_size)]
+                eb = {
+                    "image": np.stack([x[0] for x in es]),
+                    "label": np.array([x[1] for x in es], np.float32),
+                }
+                h, t = eval_step(
+                    _jax.device_get(state.params), _jax.device_get(state.batch_stats), eb
+                )
+                hits += float(h)
+                total += float(t)
+            acc = hits / max(total, 1.0)
+            _append_train_log(eval_log_path, step_no, acc)
+            print(f"* eval acc = {hits:.0f}/{total:.0f} = {acc:.4f}")
         if step_no % args.log_every == 0:
             avg = sum(losses) / len(losses)
             losses = []
