@@ -105,6 +105,19 @@ class COCOMetrics:
         b = ann["bbox"]
         return float(b[2] * b[3])
 
+    def _segm_of(self, ann):
+        """Annotation RLE; box-only annotations fall back to a filled
+        rectangle (instead of a deep KeyError on segm evals of bbox-only
+        JSONs)."""
+        if ann.get("segmentation"):
+            return ann["segmentation"]
+        im = self._images[ann["image_id"]]
+        h, w = int(im["height"]), int(im["width"])
+        x, y, bw, bh = ann["bbox"]
+        mask = np.zeros((h, w), np.uint8)
+        mask[int(y) : int(np.ceil(y + bh)), int(x) : int(np.ceil(x + bw))] = 1
+        return rle_codec.encode(mask)
+
     def _iou(self, dts, gts):
         iscrowd = np.array([int(g.get("iscrowd", 0)) for g in gts])
         if self.iou_type == "bbox":
@@ -112,7 +125,7 @@ class COCOMetrics:
             gt = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
             return bbox_iou(dt, gt, iscrowd)
         return _segm_iou(
-            [d["segmentation"] for d in dts], [g["segmentation"] for g in gts], iscrowd
+            [self._segm_of(d) for d in dts], [self._segm_of(g) for g in gts], iscrowd
         )
 
     def _evaluate_img(self, dts, gts, ious, area_rng, max_det):
