@@ -45,9 +45,14 @@ def parse_args(argv=None):
     p.add_argument("--canvas_size", type=int, default=640)
     p.add_argument("--max_proposals", type=int, default=2048)
     p.add_argument("--max_active", type=int, default=1024)
-    p.add_argument("--crop_chunk", type=int, default=32)
-    p.add_argument("--use_pallas_decode", action="store_true",
-                   help="fused Pallas center-decode kernel (TPU)")
+    p.add_argument("--image_batch", type=int, default=1,
+                   help="images discovered per shared proposal lattice")
+    p.add_argument("--crop_chunk", type=int, default=256,
+                   help="model microbatch while enough proposals are live")
+    p.add_argument("--crop_chunk_tail", type=int, default=32,
+                   help="model microbatch for the live remainder")
+    p.add_argument("--pallas_decode", choices=["auto", "on", "off"], default="auto",
+                   help="fused Pallas center-decode kernel (auto = on TPU)")
     return p.parse_args(argv)
 
 
@@ -91,9 +96,11 @@ def main(argv=None):
     cfg = ReasoningConfig(
         crop_size=args.image_size,
         canvas_size=args.canvas_size,
+        image_batch=args.image_batch,
         max_proposals=args.max_proposals,
         max_active=args.max_active,
         crop_chunk=args.crop_chunk,
+        crop_chunk_tail=args.crop_chunk_tail,
         class_score_thres=args.class_score_thres,
         center_score_max_thres=args.center_score_max_thres,
         analyze_cc=args.analyze_cc,
@@ -102,7 +109,7 @@ def main(argv=None):
         delta_ratio=args.delta_ratio,
         n_round=args.n_round,
         proposal_area_thres=args.proposal_area_thres,
-        use_pallas_decode=args.use_pallas_decode,
+        use_pallas_decode={"auto": None, "on": True, "off": False}[args.pallas_decode],
     )
     engine = ObjectDiscoveryEngine(objectness_fn, classifier_fn, cfg, variables=variables)
 
@@ -110,19 +117,21 @@ def main(argv=None):
     results = {}
     timer = StageTimer()
     t0 = time.time()
-    for idx in range(len(dataset)):
+    B = args.image_batch
+    for base in range(0, len(dataset), B):
+        group = [dataset.get(i) for i in range(base, min(base + B, len(dataset)))]
         with timer.stage("load"):
-            image, image_id = dataset.get(idx)
+            images = [g[0] for g in group]
         with timer.stage("discover"):
-            out = engine.discover(image)
-        if len(out["boxes"]):
-            results[int(image_id)] = out["boxes"]
-        done = idx + 1
-        print(
-            f"[{done}/{len(dataset)}] image {image_id}: {out['stats']} "
-            f"({done / (time.time() - t0):.3f} img/s)",
-            flush=True,
-        )
+            outs = engine.discover_batch(images)
+        for (image, image_id), out in zip(group, outs):
+            if len(out["boxes"]):
+                results[int(image_id)] = out["boxes"]
+            print(
+                f"[{base + len(group)}/{len(dataset)}] image {image_id}: {out['stats']} "
+                f"({(base + len(group)) / (time.time() - t0):.3f} img/s)",
+                flush=True,
+            )
 
     out_path = os.path.join(result_folder, "discovery_results.json")
     with open(out_path, "w") as f:

@@ -150,6 +150,42 @@ def test_empty_image_yields_no_boxes():
     assert len(result["boxes"]) == 0
 
 
+def test_multi_image_batched_discovery_matches_single():
+    # two different worlds in one lattice: per-image results must match
+    # what single-image discovery produces for each
+    gt_a = (60, 70, 140, 150)
+    gt_b = (20, 30, 90, 110)
+    world_a = make_world(200, [gt_a])
+    world_b = make_world(200, [gt_b])
+
+    single = _engine(image_batch=1)
+    ra = single.discover(world_a)
+    rb = single.discover(world_b)
+
+    batched = _engine(image_batch=2)
+    out = batched.discover_batch([world_a, world_b])
+    assert len(out) == 2
+    for res, ref, gt in ((out[0], ra, gt_a), (out[1], rb, gt_b)):
+        assert res["stats"]["n_final"] >= 1
+        best = max(iou(b, gt) for b in res["boxes"])
+        best_ref = max(iou(b, gt) for b in ref["boxes"])
+        assert best > 0.6, f"batched best IoU {best}"
+        # batched run localizes at least as well as the single run
+        assert best >= best_ref - 0.05
+    # cross-image leakage check: each image's boxes stay inside it
+    assert out[0]["stats"]["n_seed"] == ra["stats"]["n_seed"]
+    assert out[1]["stats"]["n_exist"] == rb["stats"]["n_exist"]
+
+
+def test_partial_batch_pads_missing_slots():
+    gt = (60, 70, 140, 150)
+    world = make_world(200, [gt])
+    engine = _engine(image_batch=4)
+    out = engine.discover_batch([world])  # 1 of 4 slots used
+    assert len(out) == 1
+    assert max(iou(b, gt) for b in out[0]["boxes"]) > 0.6
+
+
 def test_cc_analysis_adds_component_proposals():
     # two small separated blobs inside one big passing proposal: CC path
     # must emit enlarged per-component proposals

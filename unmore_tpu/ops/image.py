@@ -141,6 +141,7 @@ def crop_and_resize(
     boxes: jax.Array,
     out_size: int = 128,
     chunk: int = 64,
+    image_idx: jax.Array | None = None,
 ) -> jax.Array:
     """Crop ``boxes`` from ``image`` and bilinearly resize each to a square.
 
@@ -148,14 +149,16 @@ def crop_and_resize(
     ``x1,y1 = floor``, ``x2,y2 = ceil``, then ``Resize((S,S), BILINEAR)``
     of the crop (half-pixel convention, no antialias).
 
-    image: [H, W, C] float.
+    image: [H, W, C] float, or [B, H, W, C] with ``image_idx`` [P] int32
+        selecting each box's source image (multi-image discovery).
     boxes: [P, 4] float xyxy in image coordinates.
     Returns [P, S, S, C] float32.
 
     The gather is separable (rows then columns) and processed in chunks
     of ``chunk`` boxes to bound the [chunk, S, W, C] intermediate.
     """
-    H, W, C = image.shape
+    batched = image.ndim == 4
+    H, W, C = image.shape[-3:]
     P = boxes.shape[0]
     S = out_size
 
@@ -166,19 +169,26 @@ def crop_and_resize(
 
     iy0, iy1, fy = _crop_sample_coords(y1, y2, S, H)  # [P, S]
     ix0, ix1, fx = _crop_sample_coords(x1, x2, S, W)  # [P, S]
+    if batched:
+        if image_idx is None:
+            raise ValueError("image_idx required for batched images")
+        idx = jnp.clip(image_idx.astype(jnp.int32), 0, image.shape[0] - 1)
+    else:
+        idx = jnp.zeros((P,), jnp.int32)
+        image = image[None]
 
     pad = (-P) % chunk
     if pad:
         def _pad(a):
             return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
-        iy0, iy1, fy, ix0, ix1, fx = map(_pad, (iy0, iy1, fy, ix0, ix1, fx))
+        iy0, iy1, fy, ix0, ix1, fx, idx = map(_pad, (iy0, iy1, fy, ix0, ix1, fx, idx))
     n_chunks = (P + pad) // chunk
 
     def _one_chunk(_, args):
-        cy0, cy1, cfy, cx0, cx1, cfx = args
-        # rows: [chunk, S, W, C]
-        r0 = image[cy0]  # advanced indexing == gather
-        r1 = image[cy1]
+        cy0, cy1, cfy, cx0, cx1, cfx, cidx = args
+        # rows: [chunk, S, W, C] gathered from each box's source image
+        r0 = image[cidx[:, None], cy0]  # advanced indexing == gather
+        r1 = image[cidx[:, None], cy1]
         rows = r0 + (r1 - r0) * cfy[..., None, None]
         # cols: [chunk, S, S, C]
         c0 = jnp.take_along_axis(rows, cx0[:, None, :, None], axis=2)
@@ -187,12 +197,12 @@ def crop_and_resize(
         return _, out.astype(jnp.float32)
 
     def _reshape(a):
-        return a.reshape(n_chunks, chunk, S)
+        return a.reshape(n_chunks, chunk, *a.shape[1:])
 
     _, out = jax.lax.scan(
         _one_chunk,
         None,
-        tuple(_reshape(a) for a in (iy0, iy1, fy, ix0, ix1, fx)),
+        tuple(_reshape(a) for a in (iy0, iy1, fy, ix0, ix1, fx, idx)),
     )
     out = out.reshape(n_chunks * chunk, S, S, C)
     return out[:P]

@@ -6,19 +6,28 @@ splitting and convergence change tensor sizes every step
 (``object_reasoning.py:615-666``). Here every phase is a jitted
 fixed-shape program over padded proposal lattices:
 
-* proposals live in ``[P, 4]`` tensors with validity masks; "filtering"
-  is a mask update, never a reshape;
+* proposals live in ``[K, 4]`` tensors with validity masks and an
+  ``[K]`` image-index column; "filtering" is a mask update, never a
+  reshape;
+* **multi-image batching**: one lattice spans ``image_batch`` images —
+  crops gather from a ``[B, H, W, 3]`` canvas stack per box, so small
+  images and late boundary rounds share chunks and keep the MXU full
+  (the reference processes one image at a time,
+  ``object_reasoning.py:615-666``);
 * the reference's per-proposal label scheme {-1 dropped, 0 active,
   1 converged} (``object_reasoning.py:582-588``) maps onto a label
   lattice;
 * center-singularity *splitting* writes into preallocated slots and is
   compacted on device (stable sort by validity);
 * **live-prefix execution**: every model-forward phase first compacts
-  live proposals to the front of the lattice, then a
-  ``lax.while_loop`` over fixed-size chunks runs only
-  ``ceil(n_live / chunk)`` model invocations — dead slots cost zero
-  FLOPs, exactly like the reference's shrinking Python lists, but
-  with static shapes;
+  live proposals to the front of the lattice, then a two-tier
+  ``lax.while_loop`` over fixed-size chunks runs only the model
+  invocations the live count requires — full ``crop_chunk`` batches
+  while they fit (large batches hit ~60% MFU vs ~33% at 32, measured
+  on v5e — scripts/perf_sweep_results.json), then ``crop_chunk_tail``
+  batches for the remainder so a nearly-drained lattice doesn't pay
+  for a full chunk. Dead slots cost zero FLOPs, exactly like the
+  reference's shrinking Python lists, but with static shapes;
 * the 50-round boundary evolution is a ``lax.while_loop`` that exits
   as soon as no proposal is active;
 * per-chunk outputs are reduced to per-box scalars (max SDF, edge
@@ -66,10 +75,17 @@ class ReasoningConfig:
     # geometry
     crop_size: int = 128
     canvas_size: int = 640  # all COCO val2017 images fit 640x640
-    max_proposals: int = 2048  # seed lattice (max_seed_count(640,640)=1636)
-    max_splits: int = 2048  # split/CC lattice after compaction
-    max_active: int = 1024  # boundary-phase lattice
-    crop_chunk: int = 32  # model microbatch (lattices must be multiples)
+    image_batch: int = 1  # images per discovery batch (shared lattice)
+    max_proposals: int = 2048  # per-image seed lattice (max_seed_count(640,640)=1636)
+    max_splits: int = 2048  # per-image split/CC lattice after compaction
+    max_active: int = 1024  # per-image boundary-phase lattice
+    # model microbatching: full crop_chunk batches while they fit, then
+    # crop_chunk_tail batches for the live remainder (perf_sweep: 256-crop
+    # forwards are ~1.8x more crop-throughput than 32 on v5e, but a full
+    # 256 chunk for 40 live boxes would waste 5x FLOPs -> two tiers)
+    crop_chunk: int = 256
+    crop_chunk_tail: int = 32
+    gather_chunk: int = 32  # crop-gather internal chunk ([g, S, W, C] intermediate)
     # thresholds (reference object_reasoning.py:700-707 defaults)
     class_score_thres: float = 0.1
     center_score_max_thres: float = 0.009
@@ -82,57 +98,83 @@ class ReasoningConfig:
     n_round: int = 50
     proposal_area_thres: float = 50.0
     nms_iou: float = 0.5
-    # fused Pallas decode kernel for the center phase (TPU only;
-    # bit-exact vs the XLA path — ops/pallas/decode.py)
-    use_pallas_decode: bool = False
+    # fused Pallas decode kernel for the center phase (bit-exact vs the
+    # XLA path — ops/pallas/decode.py). None = auto: on when the default
+    # backend is TPU, off elsewhere (CPU tests run the XLA path).
+    use_pallas_decode: bool | None = None
 
     def __post_init__(self):
+        tail = min(self.crop_chunk_tail, self.crop_chunk)
+        if self.crop_chunk % tail:
+            raise ValueError("crop_chunk must be a multiple of crop_chunk_tail")
         for field in ("max_proposals", "max_splits", "max_active"):
-            if getattr(self, field) % self.crop_chunk:
-                raise ValueError(f"{field} must be a multiple of crop_chunk")
+            if (getattr(self, field) * self.image_batch) % self.crop_chunk:
+                raise ValueError(
+                    f"{field} * image_batch must be a multiple of crop_chunk"
+                )
+
+    @property
+    def tail(self) -> int:
+        return min(self.crop_chunk_tail, self.crop_chunk)
 
 
-def _compact(boxes: jax.Array, valid: jax.Array, out_slots: int):
+def _compact(boxes: jax.Array, valid: jax.Array, out_slots: int, extras=()):
     """Stable-gather valid rows to the front of a fixed-size lattice.
 
-    Returns (boxes [out_slots,4], valid [out_slots], n_valid, n_overflow).
+    extras: tuple of [K, ...] arrays permuted/truncated alongside boxes.
+    Returns (boxes [out_slots,4], valid [out_slots], extras, n_valid,
+    n_overflow).
     """
     order = jnp.argsort(~valid, stable=True)
     boxes = boxes[order][:out_slots]
     out_valid = valid[order][:out_slots]
+    out_extras = tuple(a[order][:out_slots] for a in extras)
     n_valid = jnp.sum(valid.astype(jnp.int32))
     overflow = jnp.maximum(n_valid - out_slots, 0)
-    return boxes, out_valid, n_valid, overflow
+    return boxes, out_valid, out_extras, n_valid, overflow
 
 
-def _live_prefix_map(chunk_fn, boxes: jax.Array, n_live: jax.Array, chunk: int, out_init):
-    """Run chunk_fn over only the first ceil(n_live/chunk) chunks.
+def _live_prefix_map(chunk_fn, boxes, idx, n_live, chunk: int, tail: int, out_init):
+    """Run chunk_fn over the live prefix in two chunk tiers.
 
-    boxes: [K, 4] with live rows compacted to the front (K % chunk == 0).
-    chunk_fn: [chunk, 4] -> pytree of [chunk, ...] outputs.
+    boxes: [K, 4] with live rows compacted to the front; idx: [K] int32
+    per-box image index. K must be a multiple of ``chunk`` and ``tail``.
+    chunk_fn: ([c, 4], [c]) -> pytree of [c, ...] outputs for c in
+    {chunk, tail}.  Full ``chunk``-sized batches run while they fit in
+    n_live; the remainder runs in ``tail``-sized batches.
     out_init: pytree of zero-filled [K, ...] buffers to scatter into.
     """
-    def cond(state):
-        i, _ = state
-        return i * chunk < n_live
 
-    def body(state):
-        i, outs = state
-        bc = jax.lax.dynamic_slice_in_dim(boxes, i * chunk, chunk, axis=0)
-        yc = chunk_fn(bc)
-        outs = jax.tree_util.tree_map(
-            lambda o, y: jax.lax.dynamic_update_slice_in_dim(o, y.astype(o.dtype), i * chunk, axis=0),
-            outs,
-            yc,
-        )
-        return i + 1, outs
+    def tier(size, start, outs, bound):
+        def cond(state):
+            off, _ = state
+            return bound(off)
 
-    _, outs = jax.lax.while_loop(cond, body, (jnp.int32(0), out_init))
+        def body(state):
+            off, outs = state
+            bc = jax.lax.dynamic_slice_in_dim(boxes, off, size, axis=0)
+            ic = jax.lax.dynamic_slice_in_dim(idx, off, size, axis=0)
+            yc = chunk_fn(bc, ic)
+            outs = jax.tree_util.tree_map(
+                lambda o, y: jax.lax.dynamic_update_slice_in_dim(
+                    o, y.astype(o.dtype), off, axis=0
+                ),
+                outs,
+                yc,
+            )
+            return off + size, outs
+
+        return jax.lax.while_loop(cond, body, (start, outs))
+
+    off, outs = tier(chunk, jnp.int32(0), out_init, lambda off: off + chunk <= n_live)
+    # tail tier picks up the live remainder (including when tail == chunk,
+    # where it degenerates to one final full-size chunk)
+    _, outs = tier(tail, off, outs, lambda off: off < n_live)
     return outs
 
 
 class ObjectDiscoveryEngine:
-    """Batched center-boundary reasoning over one padded image canvas.
+    """Batched center-boundary reasoning over a stack of padded canvases.
 
     Parameters
     ----------
@@ -151,46 +193,78 @@ class ObjectDiscoveryEngine:
         self._classifier = classifier_fn
         self.variables = {} if variables is None else variables
         c = config
+        if c.use_pallas_decode is None:
+            self._pallas_decode = jax.default_backend() == "tpu"
+        else:
+            self._pallas_decode = c.use_pallas_decode
 
+        B = c.image_batch
         self._existence_j = jax.jit(self._existence_phase)
         self._center_j = jax.jit(functools.partial(self._center_phase, analyze_cc=c.analyze_cc))
         self._center_nocc_j = jax.jit(functools.partial(self._center_phase, analyze_cc=False))
         self._boundary_j = jax.jit(self._boundary_phase)
-        self._nms_j = jax.jit(functools.partial(nms_mask, iou_threshold=c.nms_iou))
-        self._compact_active_j = jax.jit(functools.partial(_compact, out_slots=c.max_active))
-        self._compact_splits_j = jax.jit(functools.partial(_compact, out_slots=c.max_splits))
+        self._nms_j = jax.jit(functools.partial(self._batched_nms))
+        self._compact_active_j = jax.jit(
+            functools.partial(self._compact_with_idx, out_slots=c.max_active * B)
+        )
+        self._compact_splits_j = jax.jit(
+            functools.partial(self._compact_with_idx, out_slots=c.max_splits * B)
+        )
+
+    @staticmethod
+    def _compact_with_idx(boxes, valid, idx, out_slots):
+        boxes, valid, (idx,), n, overflow = _compact(boxes, valid, out_slots, extras=(idx,))
+        return boxes, valid, idx, n, overflow
+
+    def _batched_nms(self, boxes, scores, valid, idx):
+        """Per-image greedy NMS on a shared lattice: offsetting each
+        image's boxes by a disjoint coordinate range zeroes cross-image
+        IoU, so one dense NMS handles the whole batch."""
+        c = self.cfg
+        off = (idx.astype(jnp.float32) * (2.0 * c.canvas_size))[:, None]
+        shifted = boxes + off  # same shift on all 4 coords per box
+        return nms_mask(shifted, scores, valid, iou_threshold=c.nms_iou)
 
     # ------------------------------------------------------------ existence
-    def _existence_phase(self, variables, canvas, boxes, valid):
+    def _existence_phase(self, variables, canvases, boxes, idx, valid):
         """Existence-classifier scores per box (reference :491-523).
 
-        Compacts live boxes to the front; returns (boxes, valid, scores)
-        in compacted order.
+        Compacts live boxes to the front; returns (boxes, idx, valid,
+        scores) in compacted order.
         """
         c = self.cfg
         K = boxes.shape[0]
-        boxes, valid, n_live, _ = _compact(boxes, valid, K)
+        boxes, valid, (idx,), n_live, _ = _compact(boxes, valid, K, extras=(idx,))
 
-        def chunk_fn(bc):
-            crops = crop_and_resize(canvas, bc, out_size=c.crop_size, chunk=c.crop_chunk)
+        def chunk_fn(bc, ic):
+            crops = crop_and_resize(
+                canvases, bc, out_size=c.crop_size, chunk=c.gather_chunk, image_idx=ic
+            )
             return self._classifier(variables, crops).reshape(-1)
 
-        scores = _live_prefix_map(chunk_fn, boxes, n_live, c.crop_chunk, jnp.zeros((K,), jnp.float32))
-        return boxes, valid, jnp.where(valid, scores, 0.0)
+        scores = _live_prefix_map(
+            chunk_fn, boxes, idx, n_live, c.crop_chunk, c.tail,
+            jnp.zeros((K,), jnp.float32),
+        )
+        return boxes, idx, valid, jnp.where(valid, scores, 0.0)
 
     # --------------------------------------------------------------- center
-    def _center_phase(self, variables, canvas, hw, boxes, valid, analyze_cc: bool):
-        """Singularity check + box splitting + CC analysis (reference :525-580)."""
+    def _center_phase(self, variables, canvases, hw, boxes, idx, valid, analyze_cc: bool):
+        """Singularity check + box splitting + CC analysis (reference :525-580).
+
+        hw: [B, 2] per-image (h, w) float.
+        """
         c = self.cfg
         S = c.crop_size
-        h, w = hw[0], hw[1]
         K = boxes.shape[0]
-        boxes, valid, n_live, _ = _compact(boxes, valid, K)
+        boxes, valid, (idx,), n_live, _ = _compact(boxes, valid, K, extras=(idx,))
 
-        def chunk_fn(bc):
-            crops = crop_and_resize(canvas, bc, out_size=c.crop_size, chunk=c.crop_chunk)
+        def chunk_fn(bc, ic):
+            crops = crop_and_resize(
+                canvases, bc, out_size=c.crop_size, chunk=c.gather_chunk, image_idx=ic
+            )
             out = self._objectness(variables, crops, True)
-            if c.use_pallas_decode:
+            if self._pallas_decode:
                 from unmore_tpu.ops.pallas.decode import fused_center_decode
 
                 sing, argmax_yx, union = fused_center_decode(out["sdf_maps"], out["center_fields"])
@@ -216,10 +290,12 @@ class ObjectDiscoveryEngine:
                 cc_valid=jnp.zeros((K, c.cc_max_components), bool),
                 cc_counts=jnp.zeros((K,), jnp.int32),
             )
-        outs = _live_prefix_map(chunk_fn, boxes, n_live, c.crop_chunk, out_init)
+        outs = _live_prefix_map(chunk_fn, boxes, idx, n_live, c.crop_chunk, c.tail, out_init)
 
         fail = valid & (outs["sing"] > c.center_score_max_thres)
         passed = valid & ~fail
+        h = hw[idx, 0]
+        w = hw[idx, 1]
 
         # 4-way split at the singularity argmax (reference :546-559)
         x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
@@ -237,12 +313,15 @@ class ObjectDiscoveryEngine:
             axis=1,
         )  # [K, 4, 4]
         split_valid = jnp.broadcast_to(fail[:, None], splits.shape[:2])
+        split_idx = jnp.broadcast_to(idx[:, None], splits.shape[:2])
 
         result = {
             "boxes": boxes,
+            "idx": idx,
             "passed": passed,
             "split_boxes": splits.reshape(-1, 4),
             "split_valid": split_valid.reshape(-1),
+            "split_idx": split_idx.reshape(-1),
             "singularity_scores": outs["sing"],
         }
 
@@ -264,23 +343,26 @@ class ObjectDiscoveryEngine:
             nh = (by2 - by1) * c.cc_enlarge_ratio
             ex1 = jnp.floor(jnp.maximum(cx - nw / 2, 0.0))
             ey1 = jnp.floor(jnp.maximum(cy - nh / 2, 0.0))
-            ex2 = jnp.floor(jnp.minimum(cx + nw / 2, w))
-            ey2 = jnp.floor(jnp.minimum(cy + nh / 2, h))
+            ex2 = jnp.floor(jnp.minimum(cx + nw / 2, w[:, None]))
+            ey2 = jnp.floor(jnp.minimum(cy + nh / 2, h[:, None]))
             result["cc_boxes"] = jnp.stack([ex1, ey1, ex2, ey2], axis=-1).reshape(-1, 4)
             result["cc_valid"] = (outs["cc_valid"] & multi[:, None]).reshape(-1)
+            result["cc_idx"] = jnp.broadcast_to(idx[:, None], outs["cc_valid"].shape).reshape(-1)
             result["cc_overflow"] = jnp.sum(
                 jnp.where(passed, jnp.maximum(outs["cc_counts"] - c.cc_max_components, 0), 0)
             )
         return result
 
     # ------------------------------------------------------------- boundary
-    def _boundary_chunk_stats(self, variables, canvas, bc):
+    def _boundary_chunk_stats(self, variables, canvases, bc, ic):
         """Per-chunk SDF stats: max value + edge deltas (reference :139-174).
 
         Reduces [chunk, S, S] fields to per-box scalars inside the chunk.
         """
         c = self.cfg
-        crops = crop_and_resize(canvas, bc, out_size=c.crop_size, chunk=c.crop_chunk)
+        crops = crop_and_resize(
+            canvases, bc, out_size=c.crop_size, chunk=c.gather_chunk, image_idx=ic
+        )
         sdf = self._objectness(variables, crops, False)["sdf_maps"]
         max_sdf = jnp.max(sdf, axis=(1, 2))
         dy, dx = image_gradients(sdf)
@@ -300,24 +382,23 @@ class ObjectDiscoveryEngine:
             "d_y2": jnp.max(movement[:, -1, :], axis=1),
         }
 
-    def _boundary_phase(self, variables, canvas, hw, boxes, valid):
+    def _boundary_phase(self, variables, canvases, hw, boxes, idx, valid):
         """Iterative boundary-driven box evolution (reference :582-612,379-488).
 
-        Returns (boxes, labels, rounds_used). labels: -1 dropped,
+        Returns (boxes, idx, labels, rounds_used). labels: -1 dropped,
         0 still-active (ran out of rounds), 1 converged.
         """
         c = self.cfg
         S = c.crop_size
-        h, w = hw[0], hw[1]
         K = boxes.shape[0]
         labels0 = jnp.where(valid, 0.0, -1.0)
 
         def cond(state):
-            _, labels, rnd = state
+            _, _, labels, rnd = state
             return (rnd < c.n_round) & jnp.any(labels == 0)
 
         def body(state):
-            boxes, labels, rnd = state
+            boxes, idx, labels, rnd = state
             x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
             # area filter applies to every surviving proposal each round
             # (reference filter_small_proposal :293-299)
@@ -327,18 +408,20 @@ class ObjectDiscoveryEngine:
             # live-prefix compaction: only active boxes cost model FLOPs
             active = labels == 0
             order = jnp.argsort(~active, stable=True)
-            boxes, labels = boxes[order], labels[order]
+            boxes, idx, labels = boxes[order], idx[order], labels[order]
             n_active = jnp.sum(active.astype(jnp.int32))
             x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
             active = labels == 0
+            h = hw[idx, 0]
+            w = hw[idx, 1]
 
             out_init = {
                 k: jnp.zeros((K,), jnp.float32)
                 for k in ("max_sdf", "d_x1", "d_y1", "d_x2", "d_y2")
             }
             stats = _live_prefix_map(
-                functools.partial(self._boundary_chunk_stats, variables, canvas),
-                boxes, n_active, c.crop_chunk, out_init,
+                functools.partial(self._boundary_chunk_stats, variables, canvases),
+                boxes, idx, n_active, c.crop_chunk, c.tail, out_init,
             )
             labels = jnp.where(active & (stats["max_sdf"] <= c.max_sdf_thres), -1.0, labels)
             active = labels == 0
@@ -378,10 +461,12 @@ class ObjectDiscoveryEngine:
                 axis=1,
             )
             boxes = jnp.where(still_active[:, None], new, boxes)
-            return boxes, labels, rnd + 1
+            return boxes, idx, labels, rnd + 1
 
-        boxes, labels, rounds = jax.lax.while_loop(cond, body, (boxes, labels0, jnp.int32(0)))
-        return boxes, labels, rounds
+        boxes, idx, labels, rounds = jax.lax.while_loop(
+            cond, body, (boxes, idx, labels0, jnp.int32(0))
+        )
+        return boxes, idx, labels, rounds
 
     # ----------------------------------------------------------- full image
     def discover(self, image: np.ndarray) -> dict:
@@ -389,76 +474,139 @@ class ObjectDiscoveryEngine:
 
         Returns dict(boxes [N,4] np.ndarray xyxy, stats dict).
         """
+        return self.discover_batch([image])[0]
+
+    def discover_batch(self, images: list) -> list:
+        """Run discovery on up to ``cfg.image_batch`` images at once.
+
+        images: list of [H_i, W_i, 3] float32 arrays in [0, 1] (length
+        <= cfg.image_batch; the lattice is padded for missing slots).
+        Returns one result dict per input image.
+        """
         c = self.cfg
-        h, w = image.shape[:2]
-        if h > c.canvas_size or w > c.canvas_size:
-            raise ValueError(f"image {h}x{w} exceeds canvas {c.canvas_size}")
-        canvas = np.zeros((c.canvas_size, c.canvas_size, 3), np.float32)
-        canvas[:h, :w] = image
-        canvas = jnp.asarray(canvas)
-        hw = jnp.asarray([h, w], jnp.float32)
+        B = c.image_batch
+        if len(images) > B:
+            raise ValueError(f"{len(images)} images exceed image_batch {B}")
+        n_img = len(images)
 
-        seeds = seed_proposals(h, w).astype(np.float32)
-        n_seed = len(seeds)
-        if n_seed > c.max_proposals:
-            raise ValueError(f"{n_seed} seeds exceed lattice {c.max_proposals}")
-        boxes = np.zeros((c.max_proposals, 4), np.float32)
-        boxes[:n_seed] = seeds
-        boxes = jnp.asarray(boxes)
-        valid = jnp.arange(c.max_proposals) < n_seed
+        canvases = np.zeros((B, c.canvas_size, c.canvas_size, 3), np.float32)
+        hw = np.ones((B, 2), np.float32)
+        K = c.max_proposals * B
+        boxes_np = np.zeros((K, 4), np.float32)
+        idx_np = np.zeros((K,), np.int32)
+        valid_np = np.zeros((K,), bool)
+        seed_counts = []
+        cursor = 0
+        for i, image in enumerate(images):
+            h, w = image.shape[:2]
+            if h > c.canvas_size or w > c.canvas_size:
+                raise ValueError(f"image {h}x{w} exceeds canvas {c.canvas_size}")
+            canvases[i, :h, :w] = image
+            hw[i] = (h, w)
+            seeds = seed_proposals(h, w).astype(np.float32)
+            seed_counts.append(len(seeds))
+            if cursor + len(seeds) > K:
+                raise ValueError(f"seed total exceeds lattice {K}")
+            boxes_np[cursor : cursor + len(seeds)] = seeds
+            idx_np[cursor : cursor + len(seeds)] = i
+            valid_np[cursor : cursor + len(seeds)] = True
+            cursor += len(seeds)
 
-        stats = {"n_seed": n_seed}
+        canvases = jnp.asarray(canvases)
+        hw_j = jnp.asarray(hw)
+        boxes = jnp.asarray(boxes_np)
+        idx = jnp.asarray(idx_np)
+        valid = jnp.asarray(valid_np)
+
+        def per_image_counts(valid_arr, idx_arr):
+            v = np.asarray(valid_arr)
+            ii = np.asarray(idx_arr)
+            return [int(np.sum(v & (ii == i))) for i in range(n_img)]
+
+        g_stats: dict = {}
+        stats_per_img = [{"n_seed": seed_counts[i]} for i in range(n_img)]
 
         # step 1: existence checking
-        boxes, valid, scores = self._existence_j(self.variables, canvas, boxes, valid)
+        boxes, idx, valid, scores = self._existence_j(self.variables, canvases, boxes, idx, valid)
         valid = valid & (scores >= c.class_score_thres)
-        stats["n_exist"] = int(jnp.sum(valid))
-        if stats["n_exist"] == 0:
-            return {"boxes": np.zeros((0, 4), np.float32), "stats": stats}
+        n_exist = per_image_counts(valid, idx)
+        for i in range(n_img):
+            stats_per_img[i]["n_exist"] = n_exist[i]
+
+        empty = lambda s: {"boxes": np.zeros((0, 4), np.float32), "stats": s}
+        if sum(n_exist) == 0:
+            return [empty(stats_per_img[i]) for i in range(n_img)]
 
         # step 2: center reasoning
-        center_out = self._center_j(self.variables, canvas, hw, boxes, valid)
-        boxes = center_out["boxes"]
-        passed = center_out["passed"]
+        center_out = self._center_j(self.variables, canvases, hw_j, boxes, idx, valid)
+        boxes, idx, passed = center_out["boxes"], center_out["idx"], center_out["passed"]
         split_boxes = center_out["split_boxes"]
         split_valid = center_out["split_valid"]
+        split_idx = center_out["split_idx"]
         if c.analyze_cc:
             split_boxes = jnp.concatenate([split_boxes, center_out["cc_boxes"]], axis=0)
             split_valid = jnp.concatenate([split_valid, center_out["cc_valid"]], axis=0)
-            stats["cc_overflow"] = int(center_out["cc_overflow"])
-        split_boxes, split_valid, n_split, split_overflow = self._compact_splits_j(split_boxes, split_valid)
-        stats["n_split"] = int(n_split)
-        stats["split_overflow"] = int(split_overflow)
+            split_idx = jnp.concatenate([split_idx, center_out["cc_idx"]], axis=0)
+            g_stats["cc_overflow"] = int(center_out["cc_overflow"])
+        split_boxes, split_valid, split_idx, n_split, split_overflow = self._compact_splits_j(
+            split_boxes, split_valid, split_idx
+        )
+        g_stats["n_split"] = int(n_split)
+        g_stats["split_overflow"] = int(split_overflow)
 
         # re-check split proposals: existence then singularity (reference :639-646)
-        if stats["n_split"] > 0:
-            split_boxes, split_valid, s_scores = self._existence_j(self.variables, canvas, split_boxes, split_valid)
+        if g_stats["n_split"] > 0:
+            split_boxes, split_idx, split_valid, s_scores = self._existence_j(
+                self.variables, canvases, split_boxes, split_idx, split_valid
+            )
             split_valid = split_valid & (s_scores >= c.class_score_thres)
-            recheck = self._center_nocc_j(self.variables, canvas, hw, split_boxes, split_valid)
-            split_boxes = recheck["boxes"]
+            recheck = self._center_nocc_j(self.variables, canvases, hw_j, split_boxes, split_idx, split_valid)
+            split_boxes, split_idx = recheck["boxes"], recheck["idx"]
             split_passed = recheck["passed"]
         else:
             split_passed = jnp.zeros_like(split_valid)
 
         all_boxes = jnp.concatenate([boxes, split_boxes], axis=0)
+        all_idx = jnp.concatenate([idx, split_idx], axis=0)
         all_valid = jnp.concatenate([passed, split_passed], axis=0)
-        act_boxes, act_valid, n_act, act_overflow = self._compact_active_j(all_boxes, all_valid)
-        stats["n_boundary_in"] = int(n_act)
-        stats["active_overflow"] = int(act_overflow)
-        if stats["n_boundary_in"] == 0:
-            return {"boxes": np.zeros((0, 4), np.float32), "stats": stats}
+        act_boxes, act_valid, act_idx, n_act, act_overflow = self._compact_active_j(
+            all_boxes, all_valid, all_idx
+        )
+        g_stats["n_boundary_in"] = int(n_act)
+        g_stats["active_overflow"] = int(act_overflow)
+        if g_stats["n_boundary_in"] == 0:
+            for i in range(n_img):
+                stats_per_img[i].update(g_stats)
+            return [empty(stats_per_img[i]) for i in range(n_img)]
 
         # step 3: boundary reasoning
-        final_boxes, labels, rounds = self._boundary_j(self.variables, canvas, hw, act_boxes, act_valid)
-        stats["boundary_rounds"] = int(rounds)
+        final_boxes, final_idx, labels, rounds = self._boundary_j(
+            self.variables, canvases, hw_j, act_boxes, act_idx, act_valid
+        )
+        g_stats["boundary_rounds"] = int(rounds)
         keep = labels == 1
-        stats["n_converged"] = int(jnp.sum(keep))
-        if stats["n_converged"] == 0:
-            return {"boxes": np.zeros((0, 4), np.float32), "stats": stats}
 
         # NMS (scores are all 1 -> deterministic index-order tie-break)
-        nms_keep = self._nms_j(final_boxes, jnp.ones(final_boxes.shape[0]), keep)
-        out_boxes = np.asarray(final_boxes)[np.asarray(nms_keep)]
-        stats["n_final"] = len(out_boxes)
-        converged = np.asarray(final_boxes)[np.asarray(keep)]
-        return {"boxes": out_boxes, "converged_boxes": converged, "stats": stats}
+        nms_keep = self._nms_j(final_boxes, jnp.ones(final_boxes.shape[0]), keep, final_idx)
+
+        final_boxes_np = np.asarray(final_boxes)
+        final_idx_np = np.asarray(final_idx)
+        keep_np = np.asarray(keep)
+        nms_keep_np = np.asarray(nms_keep)
+
+        results = []
+        for i in range(n_img):
+            mine = final_idx_np == i
+            s = dict(stats_per_img[i])
+            s.update(g_stats)
+            s["n_converged"] = int(np.sum(keep_np & mine))
+            out_boxes = final_boxes_np[nms_keep_np & mine]
+            s["n_final"] = len(out_boxes)
+            results.append(
+                {
+                    "boxes": out_boxes,
+                    "converged_boxes": final_boxes_np[keep_np & mine],
+                    "stats": s,
+                }
+            )
+        return results
