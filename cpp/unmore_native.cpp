@@ -145,6 +145,45 @@ double rle_iou_pair(const int64_t* ra, int64_t na, const int64_t* rb, int64_t nb
     return denom > 0 ? (double)inter / denom : 0.0;
 }
 
+// ------------------------------------------------------- COCOeval matching
+
+// Greedy detection<->GT matching for one (image, category) cell across
+// all T IoU thresholds — the hot loop of COCOeval.evaluateImg, the part
+// detectron2 moves to C++ (reference COCO_evaluator/fast_eval_api.py:
+// 15-199, COCOevalEvaluateImages). Inputs are pre-sorted by the caller:
+// detections by descending score (capped at maxDet), GTs with ignored
+// ones last. ious is [D, G] row-major.
+//   dtm_out   [T, D]: 1 if detection matched
+//   dt_ig_out [T, D]: 1 if matched to an ignored GT
+// gtm scratch is internal. Semantics mirror pycocotools exactly:
+// crowd GTs can match multiple detections; once a real (non-ignored)
+// candidate is held, ignored GTs cannot displace it.
+void coco_match(const double* ious, int64_t D, int64_t G,
+                const int32_t* gt_ig, const int32_t* iscrowd,
+                const double* thrs, int64_t T,
+                int64_t* dtm_out, double* dt_ig_out) {
+    std::vector<int64_t> gtm((size_t)G);
+    for (int64_t t = 0; t < T; ++t) {
+        std::fill(gtm.begin(), gtm.end(), 0);
+        for (int64_t i = 0; i < D; ++i) {
+            double best = std::min(thrs[t], 1.0 - 1e-10);
+            int64_t m = -1;
+            for (int64_t j = 0; j < G; ++j) {
+                if (gtm[j] > 0 && !iscrowd[j]) continue;
+                if (m > -1 && gt_ig[m] == 0 && gt_ig[j] == 1) break;
+                double v = ious[i * G + j];
+                if (v < best) continue;
+                best = v;
+                m = j;
+            }
+            if (m == -1) continue;
+            dt_ig_out[t * D + i] = (double)gt_ig[m];
+            dtm_out[t * D + i] = 1;
+            gtm[m] = 1;
+        }
+    }
+}
+
 // ------------------------------------------------ exact EDT (Felzenszwalb)
 
 static void edt_1d(const double* f, double* d, int n, int* v, double* z) {

@@ -1,0 +1,174 @@
+"""Synthetic shape-world dataset generator.
+
+No ImageNet/VoteCut/COCO artifacts ship in this image, so this
+generates an in-distribution substitute with *exactly known* GT:
+
+* stage-1 layout (``--stage1_n``): single-shape images + masks in the
+  ImageNet+VoteCut directory convention the trainer consumes
+  (``imagenet/<cls>/img.JPEG`` + ``masks/<cls>/img.png`` — reference
+  ``datasets.py:85-93``), used to train real-size ObjectnessNet /
+  existence-classifier weights on the TPU;
+* stage-2 layout (``--scenes``): multi-object scenes + COCO
+  ``instances.json`` (bbox + RLE segmentation GT) for end-to-end
+  discovery runs with *trained* weights — the source of the recorded
+  convergence schedules in bench.py and of a self-contained AP number.
+
+Shapes: axis-aligned/rotated rectangles, ellipses, triangles with
+solid-ish colors + per-pixel noise on a low-frequency textured
+background. Deterministic per seed.
+
+Usage:
+  python scripts/make_synthetic_shapes.py --out /tmp/synth \
+      --stage1_n 600 --scenes 24 [--size 480]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def textured_background(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    base = rng.uniform(0.1, 0.6, size=3).astype(np.float32)
+    img = np.ones((h, w, 3), np.float32) * base
+    # low-frequency blotches
+    noise = rng.normal(0, 1, (h // 8 + 1, w // 8 + 1, 3)).astype(np.float32)
+    noise = cv2.resize(noise, (w, h), interpolation=cv2.INTER_LINEAR)
+    img += 0.06 * noise
+    # gentle gradient
+    gy = np.linspace(-0.05, 0.05, h, dtype=np.float32)[:, None, None]
+    gx = np.linspace(-0.05, 0.05, w, dtype=np.float32)[None, :, None]
+    img += gy + gx
+    return np.clip(img, 0.0, 1.0)
+
+
+def draw_shape(rng: np.random.Generator, h: int, w: int, min_frac=0.15, max_frac=0.5):
+    """Returns (mask [h,w] uint8, color [3])."""
+    mask = np.zeros((h, w), np.uint8)
+    kind = rng.integers(0, 3)
+    s = int(rng.uniform(min_frac, max_frac) * min(h, w))
+    cx = int(rng.uniform(s * 0.6, w - s * 0.6))
+    cy = int(rng.uniform(s * 0.6, h - s * 0.6))
+    if kind == 0:  # rotated rectangle
+        ww, hh = s, int(s * rng.uniform(0.5, 1.0))
+        angle = float(rng.uniform(0, 180))
+        box = cv2.boxPoints(((cx, cy), (ww, hh), angle)).astype(np.int32)
+        cv2.fillConvexPoly(mask, box, 1)
+    elif kind == 1:  # ellipse
+        ax, ay = s // 2, int(s * rng.uniform(0.25, 0.5))
+        angle = float(rng.uniform(0, 180))
+        cv2.ellipse(mask, (cx, cy), (ax, ay), angle, 0, 360, 1, -1)
+    else:  # triangle
+        pts = np.stack(
+            [
+                [cx + rng.integers(-s, s + 1), cy + rng.integers(-s, s + 1)]
+                for _ in range(3)
+            ]
+        ).astype(np.int32)
+        cv2.fillConvexPoly(mask, pts, 1)
+    mask[:1] = mask[-1:] = 0
+    mask[:, :1] = mask[:, -1:] = 0
+    color = rng.uniform(0.2, 1.0, size=3).astype(np.float32)
+    return mask, color
+
+
+def composite(img: np.ndarray, mask: np.ndarray, color: np.ndarray, rng) -> None:
+    h, w = mask.shape
+    tex = color[None, None, :] + 0.05 * rng.normal(0, 1, (h, w, 3)).astype(np.float32)
+    sel = mask > 0
+    img[sel] = np.clip(tex[sel], 0.0, 1.0)
+
+
+def write_jpeg(path: str, img: np.ndarray) -> None:
+    bgr = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
+    cv2.imwrite(path, bgr, [cv2.IMWRITE_JPEG_QUALITY, 95])
+
+
+def gen_stage1(out: str, n: int, size: int, seed: int) -> None:
+    rng = np.random.default_rng(seed)
+    img_root = os.path.join(out, "imagenet", "n00000001")
+    mask_root = os.path.join(out, "masks", "n00000001")
+    os.makedirs(img_root, exist_ok=True)
+    os.makedirs(mask_root, exist_ok=True)
+    for i in range(n):
+        img = textured_background(rng, size, size)
+        mask, color = draw_shape(rng, size, size, min_frac=0.2, max_frac=0.6)
+        composite(img, mask, color, rng)
+        write_jpeg(os.path.join(img_root, f"img_{i:05d}.JPEG"), img)
+        cv2.imwrite(os.path.join(mask_root, f"img_{i:05d}.png"), mask * 255)
+    print(f"stage-1: {n} single-shape images -> {img_root}")
+
+
+def gen_scenes(out: str, n: int, size: int, seed: int) -> None:
+    from unmore_tpu.utils.rle import encode as encode_rle  # byte-compatible COCO RLE
+
+    rng = np.random.default_rng(seed + 77)
+    img_dir = os.path.join(out, "coco", "images")
+    os.makedirs(img_dir, exist_ok=True)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n):
+        h = w = size
+        img = textured_background(rng, h, w)
+        n_obj = int(rng.integers(2, 7))
+        occupied = np.zeros((h, w), bool)
+        for _ in range(n_obj):
+            for _attempt in range(8):
+                mask, color = draw_shape(rng, h, w, min_frac=0.12, max_frac=0.35)
+                overlap = (mask > 0) & occupied
+                if overlap.sum() <= 0.15 * max(mask.sum(), 1):
+                    break
+            mask = mask & ~occupied.astype(np.uint8)
+            if mask.sum() < 100:
+                continue
+            occupied |= mask > 0
+            composite(img, mask, color, rng)
+            ys, xs = np.nonzero(mask)
+            x1, y1 = int(xs.min()), int(ys.min())
+            bw, bh = int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1)
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": i + 1,
+                    "category_id": 1,
+                    "bbox": [x1, y1, bw, bh],
+                    "area": int(mask.sum()),
+                    "iscrowd": 0,
+                    "segmentation": encode_rle(mask > 0),
+                }
+            )
+            ann_id += 1
+        fname = f"{i + 1:012d}.jpg"
+        write_jpeg(os.path.join(img_dir, fname), img)
+        images.append({"id": i + 1, "file_name": fname, "height": h, "width": w})
+    gt = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "fg"}],
+    }
+    with open(os.path.join(out, "coco", "instances.json"), "w") as f:
+        json.dump(gt, f)
+    print(f"stage-2: {n} scenes, {ann_id - 1} objects -> {img_dir}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--stage1_n", type=int, default=600)
+    ap.add_argument("--scenes", type=int, default=24)
+    ap.add_argument("--size", type=int, default=480)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    gen_stage1(args.out, args.stage1_n, args.size, args.seed)
+    gen_scenes(args.out, args.scenes, args.size, args.seed)
+
+
+if __name__ == "__main__":
+    main()

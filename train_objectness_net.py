@@ -145,20 +145,37 @@ def train_center_and_boundary(args):
     state = replicate(mesh, state)
     step_fn = make_train_step(model, tx, cfg, mesh)
 
-    dataset = VoteCutObjectnessDataset(
-        args.imagenet_dir, args.votecut_mask_dir, args.image_size, args.use_bg_sdf,
-        crop_scale=(args.random_crop_scale_min, args.random_crop_scale_max), seed=args.seed,
-    )
-    rng = np.random.default_rng(args.seed)
-    it = batch_iterator(lambda i: dataset.get(i), len(dataset), args.batch_size, rng)
+    # threaded prefetch workers hide JPEG-decode/EDT/crop latency behind
+    # the device step (reference uses DataLoader worker processes,
+    # train_objectness_net.py:137-143; cv2 releases the GIL so threads
+    # give the same overlap). Each worker owns a dataset+RNG.
+    from unmore_tpu.data.prefetch import PrefetchIterator
 
-    losses = []
+    def _worker_fn(worker_seed):
+        ds = VoteCutObjectnessDataset(
+            args.imagenet_dir, args.votecut_mask_dir, args.image_size, args.use_bg_sdf,
+            crop_scale=(args.random_crop_scale_min, args.random_crop_scale_max),
+            seed=worker_seed,
+        )
+        it = batch_iterator(
+            lambda i: ds.get(i), len(ds), args.batch_size, np.random.default_rng(worker_seed)
+        )
+        return lambda: next(it)
+
+    prefetch = PrefetchIterator(
+        worker_fns=[_worker_fn(args.seed + 1000 * w) for w in range(max(args.num_workers, 1))]
+    )
+
+    loss_acc = None  # device-side scalar; pulled to host once per log window
+    host_batch = None
     t0 = time.time()
     for iteration in range(start_iter, args.train_iter + 1):
-        host_batch = next(it)
+        host_batch = next(prefetch)
         batch = shard_batch(mesh, host_batch)
         state, metrics = step_fn(state, batch)
-        losses.append(float(metrics["total"]))
+        # accumulate on device: a per-step float() pull would force a
+        # host sync every step (VERDICT round-2 item 7)
+        loss_acc = metrics["total"] if loss_acc is None else loss_acc + metrics["total"]
         step_no = iteration + 1
         if step_no % args.save_ckpt_every == 0:
             path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
@@ -183,12 +200,21 @@ def train_center_and_boundary(args):
                 )
             print(f"* wrote diagnostics to {vis_dir}")
         if step_no % args.log_every == 0:
-            avg = sum(losses) / len(losses)
-            losses = []
-            rate = args.log_every / (time.time() - t0)
+            # single device->host pull per window (forces sync through
+            # the axon relay, so the measured rate is honest)
+            n = step_no - start_iter if step_no - start_iter < args.log_every else args.log_every
+            avg = float(loss_acc) / max(n, 1)
+            loss_acc = None
+            dt = time.time() - t0
+            rate = args.log_every / dt
             t0 = time.time()
             _append_train_log(train_log_path, step_no, avg)
-            print(f"iter {step_no} loss {avg:.4f} ({rate:.2f} it/s)")
+            print(
+                f"iter {step_no} loss {avg:.4f} ({rate:.2f} it/s, "
+                f"{rate * args.batch_size:.1f} imgs/s, "
+                f"data-starved {prefetch.starved_fraction:.1%})",
+                flush=True,
+            )
 
 
 def train_existence(args):

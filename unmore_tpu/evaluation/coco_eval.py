@@ -45,23 +45,26 @@ METRIC_NAMES = [
 
 
 def bbox_iou(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
-    """IoU of xywh boxes; crowd GT columns use intersection / det area."""
-    out = np.zeros((len(dt), len(gt)))
-    for j, g in enumerate(gt):
-        gx1, gy1, gw, gh = g
-        gx2, gy2 = gx1 + gw, gy1 + gh
-        garea = gw * gh
-        for i, d in enumerate(dt):
-            dx1, dy1, dw, dh = d
-            dx2, dy2 = dx1 + dw, dy1 + dh
-            iw = min(dx2, gx2) - max(dx1, gx1)
-            ih = min(dy2, gy2) - max(dy1, gy1)
-            if iw <= 0 or ih <= 0:
-                continue
-            inter = iw * ih
-            union = dw * dh if iscrowd[j] else dw * dh + garea - inter
-            out[i, j] = inter / union if union > 0 else 0.0
-    return out
+    """IoU of xywh boxes; crowd GT columns use intersection / det area.
+
+    Fully vectorized [D, G] (the round-1 nested-Python-loop version was
+    the evaluator hot spot on real eval sets — VERDICT round-2 item 6).
+    """
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    dt = np.asarray(dt, np.float64)
+    gt = np.asarray(gt, np.float64)
+    dx1, dy1 = dt[:, 0:1], dt[:, 1:2]
+    dx2, dy2 = dx1 + dt[:, 2:3], dy1 + dt[:, 3:4]
+    gx1, gy1 = gt[None, :, 0], gt[None, :, 1]
+    gx2, gy2 = gx1 + gt[None, :, 2], gy1 + gt[None, :, 3]
+    iw = np.minimum(dx2, gx2) - np.maximum(dx1, gx1)
+    ih = np.minimum(dy2, gy2) - np.maximum(dy1, gy1)
+    inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+    darea = (dt[:, 2] * dt[:, 3])[:, None]
+    garea = (gt[:, 2] * gt[:, 3])[None, :]
+    union = np.where(np.asarray(iscrowd, bool)[None, :], darea, darea + garea - inter)
+    return np.where(union > 0, inter / np.maximum(union, 1e-300), 0.0)
 
 
 def _segm_iou(dt_rles, gt_rles, iscrowd):
@@ -129,52 +132,80 @@ class COCOMetrics:
         )
 
     def _evaluate_img(self, dts, gts, ious, area_rng, max_det):
-        """Per (image, category, area, maxDet) matching.
+        """Per (image, category, area, maxDet) matching (dict inputs).
 
         Returns (dt_matches [T, D], dt_ignore [T, D], gt_ignore [G],
         dt_scores [D]) following the official COCOeval.evaluateImg.
         """
-        T = len(IOU_THRS)
-        gt_ig = np.array(
-            [1 if (g.get("iscrowd", 0) or not (area_rng[0] <= self._ann_area(g) <= area_rng[1])) else 0 for g in gts]
+        dt_order = np.argsort([-d["score"] for d in dts], kind="stable")
+        scores = np.array([d["score"] for d in dts], np.float64)[dt_order]
+        dt_areas = np.array([self._ann_area(d) for d in dts], np.float64)[dt_order]
+        gt_areas = np.array([self._ann_area(g) for g in gts], np.float64)
+        gt_crowd = np.array([int(g.get("iscrowd", 0)) for g in gts], np.int32)
+        return self._evaluate_img_arrays(
+            scores, dt_areas, gt_areas, gt_crowd,
+            ious[dt_order] if len(dts) and len(gts) else np.zeros((len(dts), len(gts))),
+            area_rng, max_det,
         )
-        gt_order = np.argsort(gt_ig, kind="stable")  # ignored last
-        gts = [gts[i] for i in gt_order]
-        gt_ig = gt_ig[gt_order]
-        dt_order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det]
-        dts = [dts[i] for i in dt_order]
-        ious_o = ious[dt_order][:, gt_order] if len(gts) and len(dts) else np.zeros((len(dts), len(gts)))
 
-        D, G = len(dts), len(gts)
-        dtm = np.zeros((T, D), np.int64)
-        dt_ignore = np.zeros((T, D))
-        gtm = np.zeros((T, G), np.int64)
-        iscrowd = np.array([int(g.get("iscrowd", 0)) for g in gts])
-        for t, thr in enumerate(IOU_THRS):
-            for i in range(D):
-                best_iou = min(thr, 1 - 1e-10)
-                m = -1
-                for j in range(G):
-                    if gtm[t, j] > 0 and not iscrowd[j]:
+    def _evaluate_img_arrays(self, scores, dt_areas, gt_areas, gt_crowd, ious,
+                             area_rng, max_det):
+        """Array-only matching core: inputs pre-sorted by descending
+        detection score; only area-range masking + maxDet truncation
+        happen here so the (area, maxDet) sweep re-does no dict work.
+
+        Greedy matching at a smaller maxDet is a *prefix* of the match at
+        a larger one (detections are consumed in score order and GT state
+        only ever advances), so callers sweeping maxDets should match
+        once at the cap and slice columns (`_truncate_match`)."""
+        T = len(IOU_THRS)
+        gt_ig = (
+            (gt_crowd > 0) | (gt_areas < area_rng[0]) | (gt_areas > area_rng[1])
+        ).astype(np.int64)
+        gt_order = np.argsort(gt_ig, kind="stable")  # ignored last
+        gt_ig = gt_ig[gt_order]
+        iscrowd = gt_crowd[gt_order]
+        scores = scores[:max_det]
+        dt_areas = dt_areas[:max_det]
+        D, G = len(scores), len(gt_ig)
+        ious_o = ious[:max_det][:, gt_order] if D and G else np.zeros((D, G))
+        matched = None
+        if D and G:
+            from unmore_tpu import native
+
+            matched = native.coco_match(
+                np.ascontiguousarray(ious_o, np.float64),
+                gt_ig.astype(np.int32), iscrowd, IOU_THRS,
+            )
+        if matched is not None:
+            dtm, dt_ignore = matched
+        else:  # pure-Python fallback (identical semantics)
+            dtm = np.zeros((T, D), np.int64)
+            dt_ignore = np.zeros((T, D))
+            gtm = np.zeros((T, G), np.int64)
+            for t, thr in enumerate(IOU_THRS):
+                for i in range(D):
+                    best_iou = min(thr, 1 - 1e-10)
+                    m = -1
+                    for j in range(G):
+                        if gtm[t, j] > 0 and not iscrowd[j]:
+                            continue
+                        if m > -1 and gt_ig[m] == 0 and gt_ig[j] == 1:
+                            break  # remaining gts are ignored; keep the real match
+                        if ious_o[i, j] < best_iou:
+                            continue
+                        best_iou = ious_o[i, j]
+                        m = j
+                    if m == -1:
                         continue
-                    if m > -1 and gt_ig[m] == 0 and gt_ig[j] == 1:
-                        break  # remaining gts are ignored; keep the real match
-                    if ious_o[i, j] < best_iou:
-                        continue
-                    best_iou = ious_o[i, j]
-                    m = j
-                if m == -1:
-                    continue
-                dt_ignore[t, i] = gt_ig[m]
-                dtm[t, i] = 1
-                gtm[t, m] = 1
+                    dt_ignore[t, i] = gt_ig[m]
+                    dtm[t, i] = 1
+                    gtm[t, m] = 1
         # unmatched dets outside the area range are ignored
-        dt_areas = np.array([self._ann_area(d) for d in dts])
         out_of_range = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
         dt_ignore = np.logical_or(
             dt_ignore, np.logical_and(dtm == 0, np.tile(out_of_range, (T, 1)))
         )
-        scores = np.array([d["score"] for d in dts])
         return dtm, dt_ignore, gt_ig, scores
 
     # ------------------------------------------------------------ evaluate
@@ -195,7 +226,9 @@ class COCOMetrics:
 
         max_det_cap = max(self.max_dets)
         for k, cat in enumerate(self.cat_ids):
-            # per-image raw ious computed once per (img, cat)
+            # per-image dict->array conversion + raw IoUs done ONCE per
+            # (img, cat); the 12-cell (area, maxDet) sweep below re-does
+            # only masking/truncation + the C++ match
             per_img = []
             for img_id in self.img_ids:
                 gts = self.gt_by_img_cat.get((img_id, cat), [])
@@ -205,12 +238,24 @@ class COCOMetrics:
                 order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det_cap]
                 dts = [dts[i] for i in order]
                 ious = self._iou(dts, gts) if (gts and dts) else np.zeros((len(dts), len(gts)))
-                per_img.append((dts, gts, ious))
+                scores = np.array([d["score"] for d in dts], np.float64)
+                dt_areas = np.array([self._ann_area(d) for d in dts], np.float64)
+                gt_areas = np.array([self._ann_area(g) for g in gts], np.float64)
+                gt_crowd = np.array([int(g.get("iscrowd", 0)) for g in gts], np.int32)
+                per_img.append((scores, dt_areas, gt_areas, gt_crowd, ious))
             for a, (aname, arng) in enumerate(AREA_RANGES.items()):
+                # one match per (img, area) at the maxDet cap; smaller
+                # maxDets are column prefixes of the greedy match
+                full = [
+                    self._evaluate_img_arrays(
+                        scores, dt_areas, gt_areas, gt_crowd, ious, arng, max_det_cap
+                    )
+                    for scores, dt_areas, gt_areas, gt_crowd, ious in per_img
+                ]
                 for m, max_det in enumerate(self.max_dets):
                     evals = [
-                        self._evaluate_img(dts, gts, ious, arng, max_det)
-                        for dts, gts, ious in per_img
+                        (dtm[:, :max_det], dt_ig[:, :max_det], gt_ig, sc[:max_det])
+                        for dtm, dt_ig, gt_ig, sc in full
                     ]
                     if not evals:
                         continue

@@ -64,6 +64,12 @@ def load():
     lib.edt_l2.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, f32p]
     lib.connected_components.restype = ctypes.c_int32
     lib.connected_components.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, i32p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.coco_match.restype = None
+    lib.coco_match.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p, ctypes.c_int64,
+        i64p, f64p,
+    ]
     _lib = lib
     return _lib
 
@@ -155,6 +161,35 @@ def edt_l2(mask: np.ndarray) -> np.ndarray:
     out = np.empty((h, w), np.float32)
     lib.edt_l2(_u8p(mask), h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def coco_match(ious: np.ndarray, gt_ig: np.ndarray, iscrowd: np.ndarray,
+               thrs: np.ndarray):
+    """Greedy COCO matching over T thresholds; None when lib unavailable.
+
+    ious [D, G] float64; gt_ig/iscrowd [G] int32; thrs [T] float64.
+    Returns (dtm [T, D] int64 {0,1}, dt_ignore [T, D] float64).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    D, G = ious.shape
+    T = len(thrs)
+    ious = np.ascontiguousarray(ious, np.float64)
+    gt_ig = np.ascontiguousarray(gt_ig, np.int32)
+    iscrowd = np.ascontiguousarray(iscrowd, np.int32)
+    thrs = np.ascontiguousarray(thrs, np.float64)
+    dtm = np.zeros((T, D), np.int64)
+    dt_ignore = np.zeros((T, D), np.float64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.coco_match(
+        ious.ctypes.data_as(f64p), D, G,
+        gt_ig.ctypes.data_as(i32p), iscrowd.ctypes.data_as(i32p),
+        thrs.ctypes.data_as(f64p), T,
+        _i64p(dtm), dt_ignore.ctypes.data_as(f64p),
+    )
+    return dtm, dt_ignore
 
 
 def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:

@@ -385,20 +385,23 @@ class ObjectDiscoveryEngine:
     def _boundary_phase(self, variables, canvases, hw, boxes, idx, valid):
         """Iterative boundary-driven box evolution (reference :582-612,379-488).
 
-        Returns (boxes, idx, labels, rounds_used). labels: -1 dropped,
-        0 still-active (ran out of rounds), 1 converged.
+        Returns (boxes, idx, labels, rounds_used, active_trace). labels:
+        -1 dropped, 0 still-active (ran out of rounds), 1 converged.
+        active_trace [n_round] int32 records the live count entering each
+        round (the per-round model FLOP load; -> convergence schedule).
         """
         c = self.cfg
         S = c.crop_size
         K = boxes.shape[0]
         labels0 = jnp.where(valid, 0.0, -1.0)
+        trace0 = jnp.zeros((c.n_round,), jnp.int32)
 
         def cond(state):
-            _, _, labels, rnd = state
+            _, _, labels, rnd, _ = state
             return (rnd < c.n_round) & jnp.any(labels == 0)
 
         def body(state):
-            boxes, idx, labels, rnd = state
+            boxes, idx, labels, rnd, trace = state
             x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
             # area filter applies to every surviving proposal each round
             # (reference filter_small_proposal :293-299)
@@ -410,6 +413,7 @@ class ObjectDiscoveryEngine:
             order = jnp.argsort(~active, stable=True)
             boxes, idx, labels = boxes[order], idx[order], labels[order]
             n_active = jnp.sum(active.astype(jnp.int32))
+            trace = trace.at[rnd].set(n_active)
             x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
             active = labels == 0
             h = hw[idx, 0]
@@ -461,12 +465,12 @@ class ObjectDiscoveryEngine:
                 axis=1,
             )
             boxes = jnp.where(still_active[:, None], new, boxes)
-            return boxes, idx, labels, rnd + 1
+            return boxes, idx, labels, rnd + 1, trace
 
-        boxes, idx, labels, rounds = jax.lax.while_loop(
-            cond, body, (boxes, idx, labels0, jnp.int32(0))
+        boxes, idx, labels, rounds, trace = jax.lax.while_loop(
+            cond, body, (boxes, idx, labels0, jnp.int32(0), trace0)
         )
-        return boxes, idx, labels, rounds
+        return boxes, idx, labels, rounds, trace
 
     # ----------------------------------------------------------- full image
     def discover(self, image: np.ndarray) -> dict:
@@ -580,10 +584,11 @@ class ObjectDiscoveryEngine:
             return [empty(stats_per_img[i]) for i in range(n_img)]
 
         # step 3: boundary reasoning
-        final_boxes, final_idx, labels, rounds = self._boundary_j(
+        final_boxes, final_idx, labels, rounds, active_trace = self._boundary_j(
             self.variables, canvases, hw_j, act_boxes, act_idx, act_valid
         )
         g_stats["boundary_rounds"] = int(rounds)
+        g_stats["boundary_active_trace"] = np.asarray(active_trace)[: int(rounds)].tolist()
         keep = labels == 1
 
         # NMS (scores are all 1 -> deterministic index-order tie-break)
