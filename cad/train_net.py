@@ -64,6 +64,15 @@ def build_from_config(args):
     det_cfg = DetectorConfig(
         num_classes=get(cfg_yaml, "MODEL.ROI_HEADS.NUM_CLASSES", 1),
         image_size=args.canvas_size,
+        # TPU-build sizing knobs (lattice/backbone dims; let tiny test
+        # configs express themselves in yaml)
+        max_gt=get(cfg_yaml, "INPUT.MAX_GT", 128),
+        gt_mask_res=get(cfg_yaml, "INPUT.GT_MASK_RES", 128),
+        stage_blocks=tuple(get(cfg_yaml, "MODEL.RESNETS.STAGE_BLOCKS", (3, 4, 6, 3))),
+        stage_samples=get(cfg_yaml, "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", 512),
+        rpn_pre_nms_topk_train=get(cfg_yaml, "MODEL.RPN.PRE_NMS_TOPK_TRAIN", 2000),
+        rpn_pre_nms_topk_test=get(cfg_yaml, "MODEL.RPN.PRE_NMS_TOPK_TEST", 1000),
+        rpn_post_nms_topk_test=get(cfg_yaml, "MODEL.RPN.POST_NMS_TOPK_TEST", 1000),
         rpn_post_nms_topk_train=get(cfg_yaml, "MODEL.RPN.POST_NMS_TOPK_TRAIN", 4000),
         rpn_nms_thresh=get(cfg_yaml, "MODEL.RPN.NMS_THRESH", 0.65),
         use_droploss=get(cfg_yaml, "MODEL.ROI_HEADS.USE_DROPLOSS", True),
@@ -88,12 +97,33 @@ def build_from_config(args):
         "min_sizes": tuple(get(cfg_yaml, "INPUT.MIN_SIZE_TRAIN", (640, 672, 704, 736, 768, 800))),
         "copy_paste": get(cfg_yaml, "DATALOADER.COPY_PASTE", True),
         "copy_paste_rate": get(cfg_yaml, "DATALOADER.COPY_PASTE_RATE", 1.0),
+        "copy_paste_random_num": get(cfg_yaml, "DATALOADER.COPY_PASTE_RANDOM_NUM", True),
         "copy_paste_min_ratio": get(cfg_yaml, "DATALOADER.COPY_PASTE_MIN_RATIO", 0.3),
         "copy_paste_max_ratio": get(cfg_yaml, "DATALOADER.COPY_PASTE_MAX_RATIO", 1.0),
         "output_dir": get(cfg_yaml, "OUTPUT_DIR", "cad_results/run"),
         "weights": get(cfg_yaml, "MODEL.WEIGHTS", None),
+        # in-train eval + PreciseBN (reference EvalHook defaults.py:517-523,
+        # PreciseBN hook defaults.py:498-507 + yaml PRECISE_BN NUM_ITER 200)
+        "eval_period": get(cfg_yaml, "TEST.EVAL_PERIOD", 0),
+        "precise_bn": get(cfg_yaml, "TEST.PRECISE_BN.ENABLED", False),
+        "precise_bn_iters": get(cfg_yaml, "TEST.PRECISE_BN.NUM_ITER", 200),
     }
     return det_cfg, solver, cfg_yaml
+
+
+def find_last_checkpoint(out_dir: str) -> str | None:
+    """Latest model_NNNNNNN.ckpt in out_dir (reference resume_or_load /
+    the d2 last_checkpoint mechanism, defaults.py:458-481)."""
+    import re
+
+    best, best_iter = None, -1
+    if not os.path.isdir(out_dir):
+        return None
+    for name in os.listdir(out_dir):
+        m = re.fullmatch(r"model_(\d+)\.ckpt", name)
+        if m and int(m.group(1)) > best_iter:
+            best, best_iter = os.path.join(out_dir, name), int(m.group(1))
+    return best
 
 
 def main(argv=None):
@@ -104,25 +134,34 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 
     from unmore_tpu.data.detection import DetectionDataset, detection_batch_iterator
-    from unmore_tpu.detector.cascade_rcnn import CascadeMaskRCNN
+    from unmore_tpu.detector.cascade_rcnn import CascadeMaskRCNN, detector_forward_train
     from unmore_tpu.detector.evaluation import DetectorEvaluator
     from unmore_tpu.evaluation.coco_eval import evaluate_ap
-    from unmore_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
+    from unmore_tpu.parallel import distributed as dist
+    from unmore_tpu.parallel.mesh import replicate
     from unmore_tpu.train.checkpoints import load_checkpoint, save_checkpoint
     from unmore_tpu.train.detector import (
         init_detector_state,
         make_detector_optimizer,
         make_detector_train_step,
     )
+    from unmore_tpu.train.precise_bn import precise_bn_stats
     from unmore_tpu.cli.common import NpEncoder
+
+    # multi-host: configured via JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+    # JAX_PROCESS_ID env vars; single-process runs are unaffected
+    # (replaces the reference's NCCL launch(), cad/train_net.py:168-181)
+    dist.initialize()
 
     det_cfg, solver, cfg_yaml = build_from_config(args)
     out_dir = solver["output_dir"]
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "config.yaml"), "w") as f:
-        import yaml
+    if dist.is_main():
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "config.yaml"), "w") as f:
+            import yaml
 
-        yaml.safe_dump(cfg_yaml, f)
+            yaml.safe_dump(cfg_yaml, f)
+    dist.barrier("setup")
 
     model = CascadeMaskRCNN(det_cfg)
     tx = make_detector_optimizer(
@@ -130,35 +169,66 @@ def main(argv=None):
         steps=solver["steps"], gamma=solver["gamma"], clip_norm=solver["clip_norm"],
     )
     state = init_detector_state(model, tx, jax.random.PRNGKey(0), det_cfg)
-    if solver["weights"] and os.path.isfile(str(solver["weights"])):
+    resumed = False
+    if args.resume:
+        last = find_last_checkpoint(out_dir)
+        if last:
+            state = load_checkpoint(last, target=state)
+            resumed = True
+            print(f"resumed from {last} at iter {int(state.step)}")
+    if not resumed and solver["weights"] and os.path.isfile(str(solver["weights"])):
         state = load_checkpoint(solver["weights"], target=state)
         print(f"loaded weights from {solver['weights']}")
 
-    if args.eval_only:
+    def resolve_test_set():
         if args.test_dataset and args.data_root:
             from unmore_tpu.data.registry import resolve_dataset
 
-            args.test_image_dir, args.test_json = resolve_dataset(args.test_dataset, args.data_root)
-        assert args.test_json and args.test_image_dir, "--test-json/--test-image-dir (or --test-dataset with --data-root) required"
+            return resolve_dataset(args.test_dataset, args.data_root)
+        return args.test_image_dir, args.test_json
+
+    def run_eval(state, tag: str):
+        """Evaluate the current weights on the test set; images are
+        sharded across hosts, predictions gathered to process 0."""
         from unmore_tpu.data.coco import COCOImages
 
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        test_image_dir, test_json = resolve_test_set()
+        assert test_json and test_image_dir, (
+            "--test-json/--test-image-dir (or --test-dataset with --data-root) required"
+        )
+        if dist.process_count() > 1:
+            # multi-host: evaluate from host-local copies (each process
+            # runs its own single-device inference over its image shard)
+            variables = {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            }
+        else:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
         evaluator = DetectorEvaluator(model, variables, det_cfg)
-        dataset = COCOImages(args.test_image_dir, args.test_json)
+        dataset = COCOImages(test_image_dir, test_json)
+        my_indices = dist.host_shard_indices(len(dataset))
         preds = []
         t0 = time.time()
-        for idx in range(len(dataset)):
-            image, image_id = dataset.get(idx)
+        for n_done, idx in enumerate(my_indices):
+            image, image_id = dataset.get(int(idx))
             preds.extend(evaluator.predict_image(image, int(image_id)))
-            print(f"[{idx + 1}/{len(dataset)}] ({(idx + 1) / (time.time() - t0):.2f} img/s)", flush=True)
+            print(f"[{n_done + 1}/{len(my_indices)}] ({(n_done + 1) / (time.time() - t0):.2f} img/s)", flush=True)
+        all_preds = [p for chunk in dist.all_gather_objects(preds) for p in chunk]
+        if not dist.is_main():
+            return None
         pred_path = os.path.join(out_dir, "coco_instances_results.json")
         with open(pred_path, "w") as f:
-            json.dump(preds, f, cls=NpEncoder)
+            json.dump(all_preds, f, cls=NpEncoder)
         tasks = ("bbox",) if args.no_segm or not det_cfg.mask_on else ("bbox", "segm")
-        metrics = evaluate_ap(args.test_json, preds, iou_types=tasks)
-        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        metrics = evaluate_ap(test_json, all_preds, iou_types=tasks)
+        with open(os.path.join(out_dir, f"metrics_{tag}.json"), "w") as f:
             json.dump(metrics, f, indent=2)
         print(json.dumps(metrics, indent=2))
+        return metrics
+
+    if args.eval_only:
+        run_eval(state, "eval_only")
         return
 
     assert args.train_json, "--train-json required for training"
@@ -167,38 +237,69 @@ def main(argv=None):
         prefix, _, root = spec.partition("=")
         image_roots[prefix] = root
 
-    mesh = data_parallel_mesh()
+    mesh = dist.global_mesh()
     state = replicate(mesh, state)
     step_fn = make_detector_train_step(model, tx, det_cfg, mesh)
     dataset = DetectionDataset(
         args.train_json, image_roots, canvas_size=det_cfg.image_size,
         min_sizes=solver["min_sizes"],
     )
-    rng = np.random.default_rng(0)
+    # each host draws an independent stream and feeds its slice of the
+    # global batch (per-host deterministic seeding, reference
+    # cad/data/build.py:560-562)
+    rng = np.random.default_rng(1000 + dist.process_index())
+    local_bs = dist.local_batch_size(solver["ims_per_batch"])
     it = detection_batch_iterator(
-        dataset, solver["ims_per_batch"], det_cfg.max_gt, det_cfg.gt_mask_res, rng,
+        dataset, local_bs, det_cfg.max_gt, det_cfg.gt_mask_res, rng,
         copy_paste=solver["copy_paste"], rate=solver["copy_paste_rate"],
         min_ratio=solver["copy_paste_min_ratio"], max_ratio=solver["copy_paste_max_ratio"],
+        random_num=solver["copy_paste_random_num"],
     )
+
+    def next_global_batch():
+        batch = next(it)
+        batch.pop("n_gt_dropped", None)
+        return dist.global_batch(mesh, batch)
+
+    def maybe_precise_bn(state):
+        if not solver["precise_bn"]:
+            return state
+        # recompute BN running stats from fresh train batches before eval
+        # (reference PreciseBN hook, defaults.py:498-507; NUM_ITER batches)
+        def apply_fn(variables, batch):
+            _, new_stats = detector_forward_train(
+                model, variables, det_cfg, batch, jax.random.PRNGKey(0)
+            )
+            return new_stats
+
+        n_bn = max(1, solver["precise_bn_iters"] // max(local_bs, 1))
+        batches = (next_global_batch() for _ in range(n_bn))
+        stats = precise_bn_stats(apply_fn, state.params, state.batch_stats, batches)
+        return state.replace(batch_stats=stats)
 
     metrics_path = os.path.join(out_dir, "metrics.json")
     t0 = time.time()
     for it_no in range(int(state.step), solver["max_iter"]):
-        batch = next(it)
-        batch.pop("n_gt_dropped", None)
-        state, losses = step_fn(state, shard_batch(mesh, batch))
+        state, losses = step_fn(state, next_global_batch())
         step_no = it_no + 1
         if step_no % 20 == 0:
             line = {k: round(float(v), 4) for k, v in losses.items()}
             line["iteration"] = step_no
             line["ips"] = round(20 * solver["ims_per_batch"] / (time.time() - t0), 2)
             t0 = time.time()
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(line) + "\n")
+            if dist.is_main():
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(line) + "\n")
             print(line, flush=True)
         if step_no % solver["checkpoint_period"] == 0 or step_no == solver["max_iter"]:
-            save_checkpoint(os.path.join(out_dir, f"model_{step_no:07d}.ckpt"), state)
-            print(f"* saved checkpoint at iter {step_no}")
+            if dist.is_main():
+                save_checkpoint(os.path.join(out_dir, f"model_{step_no:07d}.ckpt"), state)
+                print(f"* saved checkpoint at iter {step_no}")
+            dist.barrier("ckpt")
+        if solver["eval_period"] and (step_no % solver["eval_period"] == 0 or step_no == solver["max_iter"]):
+            eval_state = maybe_precise_bn(state)
+            run_eval(eval_state, f"iter_{step_no:07d}")
+            t0 = time.time()
 
 
 if __name__ == "__main__":

@@ -52,6 +52,10 @@ def test_to_lattice_shapes_and_masks():
     assert lat["gt_scores"][0] == np.float32(0.9)
 
 
+import pytest
+
+
+@pytest.mark.slow  # ~2-6 min: GSPMD compile of the full cascade train graph
 def test_detector_train_step_decreases_loss_on_mesh():
     cfg = _tiny_cfg()
     model = CascadeMaskRCNN(cfg)

@@ -15,25 +15,40 @@ from tests.torch_ref import TorchViTBlock
 HIGH = jax.lax.Precision.HIGHEST
 
 
+def _pad_same(x, k, s, value=0.0):
+    """timm pad_same: asymmetric TF-SAME padding (low=floor, high=ceil)."""
+    import math
+
+    ih, iw = x.shape[-2:]
+    ph = max((math.ceil(ih / s) - 1) * s + k - ih, 0)
+    pw = max((math.ceil(iw / s) - 1) * s + k - iw, 0)
+    return F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2), value=value)
+
+
 class TorchStdConv(nn.Conv2d):
+    """timm StdConv2dSame: SAME padding + weight standardization eps=1e-8."""
+
     def forward(self, x):
+        x = _pad_same(x, self.kernel_size[0], self.stride[0])
         w = self.weight
         mean = w.mean(dim=(1, 2, 3), keepdim=True)
         var = w.var(dim=(1, 2, 3), keepdim=True, unbiased=False)
         w = (w - mean) / torch.sqrt(var + 1e-8)
-        return F.conv2d(x, w, self.bias, self.stride, self.padding)
+        return F.conv2d(x, w, self.bias, self.stride, 0)
 
 
-def _preact_block(in_ch, mid, out, stride, groups):
+def _postact_block(in_ch, mid, out, stride, groups):
+    """timm ResNetV2 Bottleneck (preact=False): see hybrid.py docstring."""
     m = nn.Module()
-    m.norm1 = nn.GroupNorm(groups, in_ch, eps=1e-5)
     m.conv1 = TorchStdConv(in_ch, mid, 1, bias=False)
+    m.norm1 = nn.GroupNorm(groups, mid, eps=1e-5)
+    m.conv2 = TorchStdConv(mid, mid, 3, stride=stride, bias=False)
     m.norm2 = nn.GroupNorm(groups, mid, eps=1e-5)
-    m.conv2 = TorchStdConv(mid, mid, 3, stride=stride, padding=1, bias=False)
-    m.norm3 = nn.GroupNorm(groups, mid, eps=1e-5)
     m.conv3 = TorchStdConv(mid, out, 1, bias=False)
+    m.norm3 = nn.GroupNorm(groups, out, eps=1e-5)
     m.downsample = nn.Module()
     m.downsample.conv = TorchStdConv(in_ch, out, 1, stride=stride, bias=False)
+    m.downsample.norm = nn.GroupNorm(groups, out, eps=1e-5)
     return m
 
 
@@ -49,14 +64,14 @@ class TorchHybridObjectness(nn.Module):
 
         resnet = nn.Module()
         resnet.stem = nn.Module()
-        resnet.stem.conv = TorchStdConv(3, stem, 7, stride=2, padding=3, bias=False)
+        resnet.stem.conv = TorchStdConv(3, stem, 7, stride=2, bias=False)
         resnet.stem.norm = nn.GroupNorm(groups, stem, eps=1e-5)
         stages = nn.ModuleList()
         in_ch = stem
         for s, (mid, out) in enumerate(stage_widths):
             stage = nn.Module()
             stage.blocks = nn.ModuleList(
-                [_preact_block(in_ch, mid, out, 2 if s > 0 else 1, groups)]
+                [_postact_block(in_ch, mid, out, 2 if s > 0 else 1, groups)]
             )
             stages.append(stage)
             in_ch = out
@@ -116,19 +131,18 @@ class TorchHybridObjectness(nn.Module):
         )
 
     def _block_fwd(self, blk, x):
-        y = F.relu(blk.norm1(x))
-        shortcut = blk.downsample.conv(y)
-        y = blk.conv1(y)
-        y = blk.conv2(F.relu(blk.norm2(y)))
-        y = blk.conv3(F.relu(blk.norm3(y)))
-        return y + shortcut
+        shortcut = blk.downsample.norm(blk.downsample.conv(x))
+        y = F.relu(blk.norm1(blk.conv1(x)))
+        y = F.relu(blk.norm2(blk.conv2(y)))
+        y = blk.norm3(blk.conv3(y))
+        return F.relu(y + shortcut)
 
     def forward(self, x):
         pre = self.backbone.pretrained
         model = pre.model
         rn = model.patch_embed.backbone
         y = F.relu(rn.stem.norm(rn.stem.conv(x)))
-        y = F.max_pool2d(y, 3, stride=2, padding=1)
+        y = F.max_pool2d(_pad_same(y, 3, 2, value=float("-inf")), 3, stride=2, padding=0)
         taps = []
         for s, stage in enumerate(rn.stages):
             for blk in stage.blocks:

@@ -84,15 +84,19 @@ def make_apply_fns(objectness, obj_params, classifier, cls_vars):
     def classifier_fn(variables, crops):
         return classifier.apply(variables["classifier"], crops)[:, 0]
 
-    return objectness_fn, classifier_fn, {"objectness": obj_params, "classifier": cls_vars}
+    # device_put ONCE: checkpoint loading yields host numpy trees, and
+    # numpy leaves are re-uploaded on every jit call — through the axon
+    # relay that is ~26 s per phase invocation for the 1.5 GB ViT-L tree
+    variables = jax.device_put({"objectness": obj_params, "classifier": cls_vars})
+    return objectness_fn, classifier_fn, variables
 
 
 def init_random_variables(objectness, classifier, crop_size=128, seed=0):
     """Random-weight variables (for smoke tests / benches without ckpts)."""
     rng = jax.random.PRNGKey(seed)
     dummy = jnp.zeros((1, crop_size, crop_size, 3), jnp.float32)
-    obj_params = objectness.init(rng, dummy)["params"]
-    cls_vars = classifier.init(rng, dummy, train=False)
+    obj_params = jax.jit(lambda k: objectness.init(k, dummy)["params"])(rng)
+    cls_vars = jax.jit(lambda k: classifier.init(k, dummy, train=False))(rng)
     return obj_params, cls_vars
 
 

@@ -14,6 +14,8 @@ import os
 
 # name -> (relative image dir, relative cls-agnostic annotation json)
 EVAL_DATASETS = {
+    # pseudo-label scoring on train2017 (reference builtin.py:37)
+    "cls_agnostic_coco_train_17": ("coco/train2017", "coco/annotations/coco_cls_agnostic_instances_train2017.json"),
     "cls_agnostic_coco_val_17": ("coco/val2017", "coco/annotations/coco_cls_agnostic_instances_val2017.json"),
     "cls_agnostic_coco*_val_17": ("coco/val2017", "coco/annotations/coco_star_cls_agnostic_instances_val2017.json"),
     "cls_agnostic_coco20k": ("coco/train2014", "coco/annotations/coco20k_trainval_gt.json"),

@@ -79,6 +79,7 @@ class DetectorConfig:
     test_nms_thresh: float = 0.5
     detections_per_image: int = 100
     # model
+    pooler_sampling: Any = 2  # per-bin samples; "adaptive" = exact d2 ratio-0
     dtype: Any = jnp.float32
     precision: Any = None
     bn_axis_name: str | None = None
@@ -181,7 +182,7 @@ def detector_forward_train(model, variables, cfg: DetectorConfig, batch, rng):
                 match_k = match_and_label(
                     boxes_k, valid_k, gt_boxes, gt_scores, gt_valid, CASCADE_IOUS[k]
                 )
-            pooled = roi_align_fpn(feats_b, boxes_k, out_size=7)
+            pooled = roi_align_fpn(feats_b, boxes_k, out_size=7, sampling=cfg.pooler_sampling)
             scores, deltas = model.apply(
                 variables, pooled, k, method=CascadeMaskRCNN.run_box_head
             )
@@ -211,7 +212,7 @@ def detector_forward_train(model, variables, cfg: DetectorConfig, batch, rng):
             # _forward_mask; cad/modeling/roi_heads/roi_heads.py:889-917)
             mb = s0["boxes"]
             mm = {k2: s0[k2] for k2 in ("fg", "matched_idx", "gt_score", "gt_box")}
-            pooled = roi_align_fpn(feats_b, mb, out_size=14)
+            pooled = roi_align_fpn(feats_b, mb, out_size=14, sampling=cfg.pooler_sampling)
             mask_logits = model.apply(variables, pooled, method=CascadeMaskRCNN.run_mask_head)[..., 0]
             targets = crop_gt_mask_to_proposals(
                 gt_masks, gt_boxes, mm["matched_idx"], mb, out_size=mask_logits.shape[-1]
@@ -250,7 +251,7 @@ def detector_forward_inference(model, variables, cfg: DetectorConfig, images, im
         boxes_k = proposals
         stage_probs = []
         for k in range(3):
-            pooled = roi_align_fpn(feats_b, boxes_k, out_size=7)
+            pooled = roi_align_fpn(feats_b, boxes_k, out_size=7, sampling=cfg.pooler_sampling)
             scores, deltas = model.apply(variables, pooled, k, method=CascadeMaskRCNN.run_box_head)
             stage_probs.append(jax.nn.softmax(scores, axis=-1))
             boxes_k = clip_boxes(decode_deltas(deltas, boxes_k, weights=CASCADE_WEIGHTS[k]), hw)
@@ -269,7 +270,7 @@ def detector_forward_inference(model, variables, cfg: DetectorConfig, images, im
             "valid": det_valid,
         }
         if cfg.mask_on:
-            pooled = roi_align_fpn(feats_b, det_boxes, out_size=14)
+            pooled = roi_align_fpn(feats_b, det_boxes, out_size=14, sampling=cfg.pooler_sampling)
             mask_logits = model.apply(variables, pooled, method=CascadeMaskRCNN.run_mask_head)[..., 0]
             out["masks"] = jax.nn.sigmoid(mask_logits)
         return out
@@ -293,7 +294,7 @@ def detector_forward_with_boxes(model, variables, cfg: DetectorConfig, images, i
         boxes_k = boxes_b
         stage_probs = []
         for k in range(3):
-            pooled = roi_align_fpn(feats_b, boxes_k, out_size=7)
+            pooled = roi_align_fpn(feats_b, boxes_k, out_size=7, sampling=cfg.pooler_sampling)
             scores, deltas = model.apply(variables, pooled, k, method=CascadeMaskRCNN.run_box_head)
             stage_probs.append(jax.nn.softmax(scores, axis=-1))
             boxes_k = clip_boxes(decode_deltas(deltas, boxes_k, weights=CASCADE_WEIGHTS[k]), hw)
@@ -304,7 +305,7 @@ def detector_forward_with_boxes(model, variables, cfg: DetectorConfig, images, i
             "valid": valid_b,
         }
         if cfg.mask_on:
-            pooled = roi_align_fpn(feats_b, boxes_k, out_size=14)
+            pooled = roi_align_fpn(feats_b, boxes_k, out_size=14, sampling=cfg.pooler_sampling)
             mask_logits = model.apply(variables, pooled, method=CascadeMaskRCNN.run_mask_head)[..., 0]
             out["masks"] = jax.nn.sigmoid(mask_logits)
         return out

@@ -74,7 +74,8 @@ class DetectorEvaluator:
     def __init__(self, model, variables, cfg: DetectorConfig, min_size_test: int = 800):
         self.model = model
         self.cfg = cfg
-        self.variables = variables
+        # host numpy trees would re-upload on every jit call; pin once
+        self.variables = jax.device_put(variables)
         self.min_size_test = min_size_test
         self._infer = jax.jit(
             lambda v, images, hw: detector_forward_inference(model, v, cfg, images, hw)

@@ -47,11 +47,14 @@ def _bilinear_sample(feat: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array
 
 
 def roi_align_level(feat: jax.Array, boxes: jax.Array, stride: int, out_size: int,
-                    sampling: int = 2) -> jax.Array:
+                    sampling: int = 2, sampling_x: int | None = None) -> jax.Array:
     """feat [H, W, C] (one level, one image); boxes [N, 4] xyxy in image
-    coords -> [N, out_size, out_size, C]."""
+    coords -> [N, out_size, out_size, C]. ``sampling``/``sampling_x``
+    are the per-bin sample counts along y/x."""
     N = boxes.shape[0]
-    S = out_size * sampling
+    sy = sampling
+    sx = sampling if sampling_x is None else sampling_x
+    Sy, Sx = out_size * sy, out_size * sx
     # aligned=True: continuous feature coords with half-pixel offset
     x1 = boxes[:, 0] / stride - 0.5
     y1 = boxes[:, 1] / stride - 0.5
@@ -59,16 +62,41 @@ def roi_align_level(feat: jax.Array, boxes: jax.Array, stride: int, out_size: in
     y2 = boxes[:, 3] / stride - 0.5
     bw = jnp.maximum(x2 - x1, 1e-6)
     bh = jnp.maximum(y2 - y1, 1e-6)
-    grid = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S  # [S]
-    ys = y1[:, None] + grid[None, :] * bh[:, None]  # [N, S]
-    xs = x1[:, None] + grid[None, :] * bw[:, None]
-    # full sample grid [N, S, S]
-    ys_g = jnp.broadcast_to(ys[:, :, None], (N, S, S)).reshape(N, S * S)
-    xs_g = jnp.broadcast_to(xs[:, None, :], (N, S, S)).reshape(N, S * S)
-    vals = _bilinear_sample(feat, ys_g, xs_g)  # [N, S*S, C]
+    grid_y = (jnp.arange(Sy, dtype=jnp.float32) + 0.5) / Sy
+    grid_x = (jnp.arange(Sx, dtype=jnp.float32) + 0.5) / Sx
+    ys = y1[:, None] + grid_y[None, :] * bh[:, None]  # [N, Sy]
+    xs = x1[:, None] + grid_x[None, :] * bw[:, None]  # [N, Sx]
+    # full sample grid [N, Sy, Sx]
+    ys_g = jnp.broadcast_to(ys[:, :, None], (N, Sy, Sx)).reshape(N, Sy * Sx)
+    xs_g = jnp.broadcast_to(xs[:, None, :], (N, Sy, Sx)).reshape(N, Sy * Sx)
+    vals = _bilinear_sample(feat, ys_g, xs_g)  # [N, Sy*Sx, C]
     C = vals.shape[-1]
-    vals = vals.reshape(N, out_size, sampling, out_size, sampling, C)
+    vals = vals.reshape(N, out_size, sy, out_size, sx, C)
     return vals.mean(axis=(2, 4))
+
+
+def roi_align_level_adaptive(feat: jax.Array, boxes: jax.Array, stride: int,
+                             out_size: int, max_ratio: int = 4) -> jax.Array:
+    """Exact detectron2 ``sampling_ratio=0`` semantics, jit-able.
+
+    d2 adapts the per-bin sample count per ROI and per axis:
+    ``grid_h = ceil(roi_h / out_size)``, ``grid_w = ceil(roi_w / out_size)``
+    (ROIAlign_forward kernel). That count is shape-dynamic, so we compute
+    the pooled output for every (ry, rx) in [1, max_ratio]^2 and select
+    per box — static shapes, exact for every ROI whose true ratio is
+    <= max_ratio (larger ones clamp; at FPN-banded ROI sizes the true
+    ratio is in {1, 2} for all but full-image boxes)."""
+    y_ratio = jnp.ceil(jnp.maximum(boxes[:, 3] - boxes[:, 1], 1e-6) / stride / out_size)
+    x_ratio = jnp.ceil(jnp.maximum(boxes[:, 2] - boxes[:, 0], 1e-6) / stride / out_size)
+    y_ratio = jnp.clip(y_ratio, 1, max_ratio).astype(jnp.int32)
+    x_ratio = jnp.clip(x_ratio, 1, max_ratio).astype(jnp.int32)
+    out = None
+    for ry in range(1, max_ratio + 1):
+        for rx in range(1, max_ratio + 1):
+            pooled = roi_align_level(feat, boxes, stride, out_size, ry, rx)
+            sel = ((y_ratio == ry) & (x_ratio == rx))[:, None, None, None]
+            out = pooled * sel if out is None else out + pooled * sel
+    return out
 
 
 def assign_levels(boxes: jax.Array, k_min: int = 2, k_max: int = 5) -> jax.Array:
@@ -79,16 +107,22 @@ def assign_levels(boxes: jax.Array, k_min: int = 2, k_max: int = 5) -> jax.Array
 
 
 def roi_align_fpn(features: dict, boxes: jax.Array, out_size: int,
-                  sampling: int = 2) -> jax.Array:
+                  sampling: int | str = 2) -> jax.Array:
     """features: {P2..P5: [H_l, W_l, C]} (single image); boxes [N, 4].
 
     -> [N, out_size, out_size, C], each box pooled from its FPN level.
+    sampling: fixed per-bin count, or "adaptive" for exact d2
+    sampling_ratio=0 semantics (16 pooled variants per level —
+    quantification/eval use; see scripts/roi_align_ab.py).
     """
     levels = assign_levels(boxes)
     out = None
     for name, stride in FPN_STRIDES.items():
         lvl = int(name[1])
-        pooled = roi_align_level(features[name], boxes, stride, out_size, sampling)
+        if sampling == "adaptive":
+            pooled = roi_align_level_adaptive(features[name], boxes, stride, out_size)
+        else:
+            pooled = roi_align_level(features[name], boxes, stride, out_size, sampling)
         sel = (levels == lvl)[:, None, None, None]
         out = pooled * sel if out is None else out + pooled * sel
     return out

@@ -83,7 +83,10 @@ def _convert_hybrid_resnet(sd: Mapping[str, Any], p: dict):
                 _set(p, bf + (n, "scale"), _vec(sd[bt + n + ".weight"]))
                 _set(p, bf + (n, "bias"), _vec(sd[bt + n + ".bias"]))
             if bt + "downsample.conv.weight" in sd:
-                _set(p, bf + ("downsample", "kernel"), _conv(sd[bt + "downsample.conv.weight"]))
+                _set(p, bf + ("downsample_conv", "kernel"), _conv(sd[bt + "downsample.conv.weight"]))
+                # preact=False DownsampleConv carries a no-act norm
+                _set(p, bf + ("downsample_norm", "scale"), _vec(sd[bt + "downsample.norm.weight"]))
+                _set(p, bf + ("downsample_norm", "bias"), _vec(sd[bt + "downsample.norm.bias"]))
             b += 1
 
 

@@ -1,18 +1,24 @@
 """R50+ViT-B/16 hybrid backbone (timm ``vit_base_resnet50_384``) in Flax.
 
 The reference's ``dpt_hybrid`` option (``models/objectness_net.py:74-105``,
-``models/dpt/vit.py:351-512``): a ResNetV2 stem/stages (weight-
-standardized convs + GroupNorm, pre-activation bottlenecks, stage
-layout (3, 4, 9)) feeding a 1x1 patch projection into a 12-block
-ViT-B. DPT taps: stage-1 output (256 ch, 1/4), stage-2 output (512 ch,
-1/8), and ViT blocks 8 and 11; the first two reassemble paths are
-identities (``vit.py:438-443``).
+``models/dpt/vit.py:351-512``): a ResNetV2 trunk feeding a 1x1 patch
+projection into a 12-block ViT-B. DPT taps: stage-1 output (256 ch,
+1/4), stage-2 output (512 ch, 1/8), and ViT blocks 8 and 11; the first
+two reassemble paths are identities (``vit.py:438-443``).
 
-Weight standardization follows timm StdConv2d: per-output-channel
-(w - mean) / sqrt(var + 1e-8) over (kh, kw, in), biased variance.
-Note: timm is not installed in this image, so hybrid activation parity
-against the published checkpoint is asserted structurally (converter
-shape coverage) rather than numerically.
+The trunk follows timm 1.0.15 (the reference's pinned timm,
+requirements.txt) ``vit_base_r50_s16_384`` conventions exactly
+(docs/hybrid_stem_audit.md has the line-by-line audit):
+
+* ``preact=False`` **post-activation** bottlenecks: conv1-norm1(act)-
+  conv2-norm2(act)-conv3-norm3(no act), relu AFTER the residual add;
+  downsample = 1x1 conv + norm(no act) on the raw input;
+* ``stem_type='same'``: StdConv2dSame 7x7/2 + GroupNormAct + 3x3/2
+  max-pool, all with asymmetric TF-SAME padding (low = floor, high =
+  ceil), which flax/XLA "SAME" reproduces;
+* ``StdConv2dSame(eps=1e-8)`` weight standardization: per-output-
+  channel (w - mean) / sqrt(biased_var + 1e-8);
+* GroupNormAct(num_groups=32, eps=1e-5).
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ def _standardize(kernel):
 
 
 class WSConv(nn.Conv):
-    """Conv with weight standardization (timm StdConv2d semantics)."""
+    """Conv with weight standardization (timm StdConv2dSame, eps=1e-8)."""
 
     def param(self, name, init_fn, *args, **kwargs):
         p = super().param(name, init_fn, *args, **kwargs)
@@ -42,7 +48,10 @@ class WSConv(nn.Conv):
         return p
 
 
-class PreActBottleneck(nn.Module):
+class Bottleneck(nn.Module):
+    """timm ResNetV2 post-activation Bottleneck (preact=False variant,
+    the one ``vit_base_r50_s16_384`` builds — see module docstring)."""
+
     mid: int
     out: int
     stride: int = 1
@@ -56,24 +65,26 @@ class PreActBottleneck(nn.Module):
         def gn(name):
             return nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype, name=name)
 
-        # timm ResNetV2 PreActBottleneck: norm inside the residual branch,
-        # shortcut taken from the un-normalized input
-        y = nn.relu(gn("norm1")(x))
         shortcut = x
         if self.downsample:
-            shortcut = WSConv(self.out, (1, 1), strides=(self.stride, self.stride), use_bias=False,
-                              dtype=self.dtype, precision=self.precision, name="downsample")(y)
-        y = WSConv(self.mid, (1, 1), use_bias=False, dtype=self.dtype, precision=self.precision, name="conv1")(y)
-        y = nn.relu(gn("norm2")(y))
-        y = WSConv(self.mid, (3, 3), strides=(self.stride, self.stride), padding=1, use_bias=False,
+            shortcut = WSConv(self.out, (1, 1), strides=(self.stride, self.stride), padding="SAME",
+                              use_bias=False, dtype=self.dtype, precision=self.precision,
+                              name="downsample_conv")(x)
+            shortcut = gn("downsample_norm")(shortcut)  # apply_act=False
+        y = WSConv(self.mid, (1, 1), padding="SAME", use_bias=False,
+                   dtype=self.dtype, precision=self.precision, name="conv1")(x)
+        y = nn.relu(gn("norm1")(y))
+        y = WSConv(self.mid, (3, 3), strides=(self.stride, self.stride), padding="SAME", use_bias=False,
                    dtype=self.dtype, precision=self.precision, name="conv2")(y)
-        y = nn.relu(gn("norm3")(y))
-        y = WSConv(self.out, (1, 1), use_bias=False, dtype=self.dtype, precision=self.precision, name="conv3")(y)
-        return y + shortcut
+        y = nn.relu(gn("norm2")(y))
+        y = WSConv(self.out, (1, 1), padding="SAME", use_bias=False,
+                   dtype=self.dtype, precision=self.precision, name="conv3")(y)
+        y = gn("norm3")(y)  # apply_act=False
+        return nn.relu(y + shortcut)
 
 
 class ResNetV2Stages(nn.Module):
-    """Stem + 3 stages (3, 4, 9 blocks); returns (stage1, stage2, final)."""
+    """'same'-stem + 3 stages (3, 4, 9 blocks); returns (stage1, stage2, final)."""
 
     dtype: Any = jnp.float32
     precision: Any = None
@@ -84,16 +95,16 @@ class ResNetV2Stages(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = WSConv(self.stem_width, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+        y = WSConv(self.stem_width, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
                    dtype=self.dtype, precision=self.precision, name="stem_conv")(x)
         y = nn.relu(nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype, name="stem_norm")(y))
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
 
         taps = []
         for s, ((mid, out), nb) in enumerate(zip(self.stage_widths, self.stage_blocks)):
             for b in range(nb):
                 stride = 2 if (s > 0 and b == 0) else 1
-                y = PreActBottleneck(
+                y = Bottleneck(
                     mid, out, stride=stride, downsample=(b == 0), groups=self.groups,
                     dtype=self.dtype, precision=self.precision, name=f"stage{s}_block{b}",
                 )(y)

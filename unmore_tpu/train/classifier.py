@@ -72,7 +72,9 @@ def make_eval_step(model):
 
 
 def init_classifier_state(model, tx, rng, image_size: int) -> ClassifierTrainState:
-    variables = model.init(rng, jnp.zeros((1, image_size, image_size, 3)), train=False)
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, image_size, image_size, 3)), train=False)
+    )(rng)
     return ClassifierTrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],

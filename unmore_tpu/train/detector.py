@@ -64,9 +64,9 @@ def make_detector_optimizer(
 def init_detector_state(model: CascadeMaskRCNN, tx, rng, cfg: DetectorConfig,
                         init_image_size: int | None = None) -> DetectorTrainState:
     size = init_image_size or cfg.image_size
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), method=CascadeMaskRCNN.init_all
-    )
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, size, size, 3)), method=CascadeMaskRCNN.init_all)
+    )(jax.random.PRNGKey(0))
     return DetectorTrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],

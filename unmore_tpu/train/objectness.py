@@ -126,5 +126,9 @@ def make_train_step(model, tx, cfg: TrainObjectnessConfig, mesh: Mesh | None = N
 
 
 def init_state(model, tx, rng, image_size: int, batch_size: int = 1) -> TrainState:
-    params = model.init(rng, jnp.zeros((batch_size, image_size, image_size, 3)))["params"]
+    # jit the init: eager flax init dispatches every primitive one by one
+    # (tens of seconds on the virtual-device CPU backend; minutes for ViT-L)
+    params = jax.jit(
+        lambda k: model.init(k, jnp.zeros((batch_size, image_size, image_size, 3)))["params"]
+    )(rng)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
