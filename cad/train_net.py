@@ -139,7 +139,7 @@ def main(argv=None):
     from unmore_tpu.evaluation.coco_eval import evaluate_ap
     from unmore_tpu.parallel import distributed as dist
     from unmore_tpu.parallel.mesh import replicate
-    from unmore_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+    from unmore_tpu.train.checkpoints import AsyncCheckpointer, load_checkpoint
     from unmore_tpu.train.detector import (
         init_detector_state,
         make_detector_optimizer,
@@ -277,6 +277,7 @@ def main(argv=None):
         stats = precise_bn_stats(apply_fn, state.params, state.batch_stats, batches)
         return state.replace(batch_stats=stats)
 
+    ckpt_writer = AsyncCheckpointer()
     metrics_path = os.path.join(out_dir, "metrics.json")
     t0 = time.time()
     for it_no in range(int(state.step), solver["max_iter"]):
@@ -293,13 +294,14 @@ def main(argv=None):
             print(line, flush=True)
         if step_no % solver["checkpoint_period"] == 0 or step_no == solver["max_iter"]:
             if dist.is_main():
-                save_checkpoint(os.path.join(out_dir, f"model_{step_no:07d}.ckpt"), state)
+                ckpt_writer.save(os.path.join(out_dir, f"model_{step_no:07d}.ckpt"), state)
                 print(f"* saved checkpoint at iter {step_no}")
             dist.barrier("ckpt")
         if solver["eval_period"] and (step_no % solver["eval_period"] == 0 or step_no == solver["max_iter"]):
             eval_state = maybe_precise_bn(state)
             run_eval(eval_state, f"iter_{step_no:07d}")
             t0 = time.time()
+    ckpt_writer.wait()
 
 
 if __name__ == "__main__":

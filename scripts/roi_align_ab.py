@@ -120,7 +120,7 @@ def ap_level_ab(rng):
     gt = {"images": gt_images, "annotations": gt_anns, "categories": [{"id": 1, "name": "fg"}]}
     m2 = evaluate_ap(gt, preds[2])["bbox"]
     ma = evaluate_ap(gt, preds["adaptive"])["bbox"]
-    print("AP-level A/B (same random weights, tiny fixture):")
+    print("AP-level A/B (same fixture-trained weights, tiny fixture):")
     print("  metric    fixed2  adaptive   delta")
     for k in ("AP", "AP50", "AP75", "AR100"):
         print(f"  {k:8s} {m2[k]:7.4f} {ma[k]:9.4f} {ma[k] - m2[k]:+8.4f}")

@@ -44,6 +44,56 @@ def test_precise_bn_recovers_true_statistics():
     assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(new_stats)[1])).all()
 
 
+def test_async_checkpointer_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from unmore_tpu.train.checkpoints import AsyncCheckpointer, load_checkpoint
+
+    w = AsyncCheckpointer()
+    tree = {"a": jnp.arange(8.0), "step": jnp.int32(3)}
+    path = str(tmp_path / "ckpt" / "x.ckpt")
+    w.save(path, tree)
+    # the donated-buffer hazard: mutate/discard the original right away
+    tree = None
+    w.wait()
+    restored = load_checkpoint(path)
+    np.testing.assert_array_equal(restored["a"], np.arange(8.0))
+    assert int(restored["step"]) == 3
+    # sequential saves preserve order (second overwrites first)
+    w.save(path, {"a": jnp.zeros(2), "step": jnp.int32(1)})
+    w.save(path, {"a": jnp.ones(2), "step": jnp.int32(2)})
+    w.wait()
+    assert int(load_checkpoint(path)["step"]) == 2
+
+
+def test_prefetch_iterator_overlaps_and_counts_starvation():
+    import time
+
+    from unmore_tpu.data.prefetch import PrefetchIterator
+
+    def make_batch():
+        time.sleep(0.01)
+        return {"x": np.ones(4)}
+
+    it = PrefetchIterator(make_batch, num_workers=2, depth=4)
+    for _ in range(10):
+        b = next(it)
+        assert b["x"].shape == (4,)
+        time.sleep(0.005)  # consumer slower than 2 workers -> low starvation
+    assert 0.0 <= it.starved_fraction <= 1.0
+    it.close()
+
+    # worker exceptions surface to the consumer
+    def boom():
+        raise RuntimeError("worker died")
+
+    it2 = PrefetchIterator(boom, num_workers=1)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="worker died"):
+        next(it2)
+
+
 def test_config_roundtrip(tmp_path):
     cfg = TrainObjectnessConfig(model=ModelConfig(backbone_type="dpt_hybrid"), batch_size=7)
     path = str(tmp_path / "cfg.json")

@@ -94,7 +94,7 @@ def train_center_and_boundary(args):
     from unmore_tpu.data.votecut import VoteCutObjectnessDataset, batch_iterator
     from unmore_tpu.models.objectness import ObjectnessNet
     from unmore_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
-    from unmore_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+    from unmore_tpu.train.checkpoints import AsyncCheckpointer, load_checkpoint
     from unmore_tpu.train.objectness import init_state, make_optimizer, make_train_step
 
     result_folder = _make_run_dir(args, "center_and_boundary")
@@ -166,6 +166,7 @@ def train_center_and_boundary(args):
         worker_fns=[_worker_fn(args.seed + 1000 * w) for w in range(max(args.num_workers, 1))]
     )
 
+    ckpt_writer = AsyncCheckpointer()
     loss_acc = None  # device-side scalar; pulled to host once per log window
     host_batch = None
     t0 = time.time()
@@ -179,7 +180,7 @@ def train_center_and_boundary(args):
         step_no = iteration + 1
         if step_no % args.save_ckpt_every == 0:
             path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
-            save_checkpoint(path, state)
+            ckpt_writer.save(path, state)
             print(f"* saved checkpoint {path}")
         if step_no % args.visualize_every == 0:
             from unmore_tpu.utils.vis import dump_objectness_diagnostics
@@ -215,6 +216,8 @@ def train_center_and_boundary(args):
                 f"data-starved {prefetch.starved_fraction:.1%})",
                 flush=True,
             )
+    ckpt_writer.wait()
+    prefetch.close()
 
 
 def train_existence(args):
@@ -227,7 +230,7 @@ def train_existence(args):
     from unmore_tpu.data.votecut import VoteCutObjectnessDataset, load_image_mask_pair
     from unmore_tpu.models.resnet import BinaryClassifier
     from unmore_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
-    from unmore_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+    from unmore_tpu.train.checkpoints import AsyncCheckpointer, load_checkpoint
     from unmore_tpu.train.classifier import (
         init_classifier_state,
         make_classifier_train_step,
@@ -275,6 +278,7 @@ def train_existence(args):
     eval_step = make_eval_step(model)
     eval_log_path = os.path.join(result_folder, "eval_log.json")
 
+    ckpt_writer = AsyncCheckpointer()
     losses = []
     t0 = time.time()
     for iteration in range(start_iter, args.train_iter + 1):
@@ -291,7 +295,7 @@ def train_existence(args):
         step_no = iteration + 1
         if step_no % args.save_ckpt_every == 0:
             path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
-            save_checkpoint(path, state)
+            ckpt_writer.save(path, state)
             print(f"* saved checkpoint {path}")
         if step_no % args.evaluate_every == 0:
             # accuracy at 0.5 on freshly drawn samples
@@ -321,6 +325,7 @@ def train_existence(args):
             t0 = time.time()
             _append_train_log(train_log_path, step_no, avg)
             print(f"iter {step_no} loss {avg:.4f} ({rate:.2f} it/s)")
+    ckpt_writer.wait()
 
 
 def main(argv=None):

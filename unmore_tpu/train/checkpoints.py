@@ -9,8 +9,10 @@ best-effort for optimizer state, mirroring ``train_objectness_net.py:115-125``.
 from __future__ import annotations
 
 import os
+import threading
 
 import jax
+import jax.numpy as jnp
 from flax import serialization
 
 
@@ -19,6 +21,48 @@ def save_checkpoint(path: str, tree) -> None:
     host_tree = jax.device_get(serialization.to_state_dict(tree))
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(host_tree))
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes.
+
+    A synchronous save blocks training on a full device->host pull of
+    params + optimizer state (minutes for ViT-L through the axon
+    relay). Here the save takes an on-device *copy* of the state (a
+    fast HBM copy that is NOT tied to the training step's donated
+    buffers) and a background thread does the slow device_get +
+    msgpack write while training continues. One write is in flight at
+    a time; a new save waits for the previous write to land
+    (checkpoint order is preserved). Call ``wait()`` before exiting.
+    """
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+
+    def save(self, path: str, tree) -> None:
+        self.wait()
+        # device-side snapshot: safe from later donation of `tree`
+        snapshot = jax.tree_util.tree_map(
+            lambda x: jnp.array(x) if isinstance(x, jax.Array) else x, tree
+        )
+
+        def write():
+            try:
+                save_checkpoint(path, snapshot)
+            except BaseException as e:  # surfaced on the next save/wait
+                self._error = e
+
+        self._thread = threading.Thread(target=write, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise e
 
 
 def load_checkpoint(path: str, target=None):
