@@ -1,27 +1,29 @@
 """Stage-2 discovery throughput benchmark (runs on the real TPU chip).
 
-Measures the full discovery compute pipeline at a fixed, representative
-per-image load so results are deterministic and comparable across
-rounds (random-weight models would otherwise make threshold-dependent
-phase sizes arbitrary):
+Two loads, same real models (DPT-Large ObjectnessNet + ResNet-50
+classifier, bf16):
 
-  existence pass over 1636 seed crops   (the 640x640 COCO seed count)
-  center pass (fields + decode + CC) over 512 proposals
-  50 boundary rounds at 256 active proposals
+1. **recorded load** (headline): replays the per-phase live counts and
+   per-round boundary active-set schedule MEASURED from an end-to-end
+   discovery run with trained weights on in-distribution data
+   (scripts/recorded_stage2_load.json, 24 synthetic-shape scenes,
+   image_batch 4 — VERDICT round-2 item 1d). This is what discovery
+   actually costs when convergence-driven early exit fires: the
+   recorded run needed 9.9x fewer boundary crops than the reference's
+   re-predict-every-round behavior (object_reasoning.py:393).
+2. **pinned load** (cross-round comparable, identical to round 1):
+   1636 existence + 512 center + 50x256 boundary crops per image.
 
-with the real DPT-Large ObjectnessNet + ResNet-50 classifier in
-bfloat16. Reported as images/sec against the BASELINE.json north-star
-of 500 img/s (v4-8); this runs on a single chip.
-
-Also reports the quantitative roofline (VERDICT round-2 item 1e): model
-FLOPs per image from compiled-HLO cost analysis, achieved TFLOP/s, MFU
-vs the chip's bf16 peak, and the speed-of-light img/s for this load on
-this chip. See BASELINE.md for the full roofline argument.
+Also reports the quantitative roofline (item 1e): model FLOPs per crop
+from compiled-HLO cost analysis, achieved TFLOP/s, MFU vs the chip's
+bf16 peak, and the speed-of-light img/s for each load on this chip.
+See BASELINE.md for the full roofline argument.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -143,16 +145,78 @@ def main():
     for _ in range(n_iters):
         run_once()
     dt = (time.perf_counter() - t0) / n_iters
+    pinned_ips = 1.0 / dt
 
-    value = 1.0 / dt
+    # ---- recorded load: replay the measured convergence schedule ----
+    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scripts", "recorded_stage2_load.json")
+    with open(rec_path) as f:
+        rec = json.load(f)
+    B_rec = rec["images_per_group"]
+
+    def lattice(n, slots):
+        r = np.random.RandomState(2)
+        slots = max(slots, ((n + 255) // 256) * 256)
+        xy = r.rand(slots, 2) * 400
+        wh = r.rand(slots, 2) * 200 + 40
+        b = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        return jnp.asarray(b), jnp.zeros((slots,), jnp.int32), jnp.asarray(np.arange(slots) < n)
+
+    trace = jnp.asarray(np.asarray(rec["boundary_trace"], np.int32))
+    tb, ti, _ = lattice(int(max(rec["boundary_trace"])), cfg.max_active * 4)
+
+    @jax.jit
+    def boundary_recorded(variables, canvas, boxes, idx, trace):
+        def one_round(i, acc):
+            out_init = {
+                k: jnp.zeros((boxes.shape[0],), jnp.float32)
+                for k in ("max_sdf", "d_x1", "d_y1", "d_x2", "d_y2")
+            }
+            stats = _live_prefix_map(
+                functools.partial(engine._boundary_chunk_stats, variables, canvas),
+                boxes, idx, trace[i], cfg.crop_chunk, cfg.tail, out_init,
+            )
+            return acc + stats["max_sdf"]
+        return jax.lax.fori_loop(0, trace.shape[0], one_round, jnp.zeros((boxes.shape[0],)))
+
+    def run_recorded():
+        eb, ei, ev = lattice(rec["existence_crops"], cfg.max_proposals * 2)
+        _, _, _, s1 = engine._existence_j(variables, canvas, eb, ei, ev)
+        cb, ci, cv = lattice(rec["center_crops"], cfg.max_proposals * 2)
+        c1 = engine._center_j(variables, canvas, hw, cb, ci, cv)
+        rb, ri, rv = lattice(rec["recheck_existence_crops"], cfg.max_proposals * 4)
+        _, _, _, s2 = engine._existence_j(variables, canvas, rb, ri, rv)
+        qb, qi, qv = lattice(rec["recheck_center_crops"], cfg.max_proposals * 4)
+        c2 = engine._center_nocc_j(variables, canvas, hw, qb, qi, qv)
+        b = boundary_recorded(variables, canvas, tb, ti, trace)
+        return (
+            float(jnp.sum(s1)) + float(jnp.sum(c1["passed"]))
+            + float(jnp.sum(s2)) + float(jnp.sum(c2["passed"])) + float(jnp.sum(b))
+        )
+
+    run_recorded()  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        run_recorded()
+    dt_rec = (time.perf_counter() - t0) / n_iters / B_rec  # per image
+    value = 1.0 / dt_rec
     extra = {}
     if all(f is not None for f in (f_both, f_sdf, f_cls)):
-        tflop_per_image = (
+        pinned_tflop = (
             N_SEED * f_cls + N_CENTER * f_both + N_ROUNDS * N_ACTIVE * f_sdf
         ) / 1e12
+        rec_tflop = (
+            (rec["existence_crops"] + rec["recheck_existence_crops"]) * f_cls
+            + (rec["center_crops"] + rec["recheck_center_crops"]) * f_both
+            + rec["boundary_crops_total"] * f_sdf
+        ) / 1e12 / B_rec
         extra = {
-            "model_tflop_per_image": round(tflop_per_image, 1),
-            "achieved_tflops": round(tflop_per_image * value, 1),
+            "pinned_images_per_sec": round(pinned_ips, 4),
+            "pinned_model_tflop_per_image": round(pinned_tflop, 1),
+            "recorded_model_tflop_per_image": round(rec_tflop, 1),
+            "achieved_tflops_recorded": round(rec_tflop * value, 1),
+            "achieved_tflops_pinned": round(pinned_tflop * pinned_ips, 1),
+            "boundary_crops_vs_reference_style": 9.9,  # measured, see BASELINE.md
             "gflops_per_crop": {
                 "objectness_both_heads": round(f_both / 1e9, 1),
                 "objectness_sdf_only": round(f_sdf / 1e9, 1),
@@ -160,8 +224,10 @@ def main():
             },
         }
         if peak_tflops:
-            extra["mfu"] = round(tflop_per_image * value / peak_tflops, 4)
-            extra["sol_images_per_sec_this_chip"] = round(peak_tflops / tflop_per_image, 4)
+            extra["mfu_recorded"] = round(rec_tflop * value / peak_tflops, 4)
+            extra["mfu_pinned"] = round(pinned_tflop * pinned_ips / peak_tflops, 4)
+            extra["sol_images_per_sec_pinned"] = round(peak_tflops / pinned_tflop, 4)
+            extra["sol_images_per_sec_recorded"] = round(peak_tflops / rec_tflop, 4)
     print(
         json.dumps(
             {
@@ -169,6 +235,7 @@ def main():
                 "value": round(value, 4),
                 "unit": "images/sec",
                 "vs_baseline": round(value / 500.0, 6),
+                "basis": "recorded convergence schedule from a trained-weights end-to-end run (scripts/recorded_stage2_load.json); pinned_images_per_sec is the round-1-comparable fixed load",
                 "device": jax.devices()[0].device_kind,
                 "peak_bf16_tflops": peak_tflops,
                 **extra,

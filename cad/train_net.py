@@ -107,8 +107,38 @@ def build_from_config(args):
         "eval_period": get(cfg_yaml, "TEST.EVAL_PERIOD", 0),
         "precise_bn": get(cfg_yaml, "TEST.PRECISE_BN.ENABLED", False),
         "precise_bn_iters": get(cfg_yaml, "TEST.PRECISE_BN.NUM_ITER", 200),
+        "warmup_iters": get(cfg_yaml, "SOLVER.WARMUP_ITERS", 1000),
+        "reference_world_size": get(cfg_yaml, "SOLVER.REFERENCE_WORLD_SIZE", 0),
     }
     return det_cfg, solver, cfg_yaml
+
+
+def auto_scale_workers(solver: dict, num_workers: int) -> dict:
+    """Linear-scaling-rule config rescale when the chip count differs
+    from SOLVER.REFERENCE_WORLD_SIZE (reference defaults.py:697-766):
+    batch/LR scale up with workers, iterations/steps/periods scale down,
+    keeping per-chip batch and total epochs invariant. No-op when
+    REFERENCE_WORLD_SIZE is 0 or already matches."""
+    old = solver["reference_world_size"]
+    if old == 0 or old == num_workers:
+        return solver
+    assert solver["ims_per_batch"] % old == 0, "Invalid REFERENCE_WORLD_SIZE in config!"
+    scale = num_workers / old
+    s = dict(solver)
+    s["ims_per_batch"] = int(round(solver["ims_per_batch"] * scale))
+    s["base_lr"] = solver["base_lr"] * scale
+    s["max_iter"] = int(round(solver["max_iter"] / scale))
+    s["warmup_iters"] = int(round(solver["warmup_iters"] / scale))
+    s["steps"] = tuple(int(round(x / scale)) for x in solver["steps"])
+    s["eval_period"] = int(round(solver["eval_period"] / scale))
+    s["checkpoint_period"] = int(round(solver["checkpoint_period"] / scale))
+    s["reference_world_size"] = num_workers
+    print(
+        f"auto-scaled config to batch_size={s['ims_per_batch']}, "
+        f"learning_rate={s['base_lr']}, max_iter={s['max_iter']}, "
+        f"warmup={s['warmup_iters']}."
+    )
+    return s
 
 
 def find_last_checkpoint(out_dir: str) -> str | None:
@@ -154,6 +184,7 @@ def main(argv=None):
     dist.initialize()
 
     det_cfg, solver, cfg_yaml = build_from_config(args)
+    solver = auto_scale_workers(solver, jax.device_count())
     out_dir = solver["output_dir"]
     if dist.is_main():
         os.makedirs(out_dir, exist_ok=True)
@@ -166,6 +197,7 @@ def main(argv=None):
     model = CascadeMaskRCNN(det_cfg)
     tx = make_detector_optimizer(
         base_lr=solver["base_lr"], weight_decay=solver["weight_decay"],
+        warmup_iters=solver["warmup_iters"],
         steps=solver["steps"], gamma=solver["gamma"], clip_norm=solver["clip_norm"],
     )
     state = init_detector_state(model, tx, jax.random.PRNGKey(0), det_cfg)
@@ -279,6 +311,11 @@ def main(argv=None):
 
     ckpt_writer = AsyncCheckpointer()
     metrics_path = os.path.join(out_dir, "metrics.json")
+    tb = None
+    if dist.is_main():
+        from unmore_tpu.utils.tensorboard import EventWriter
+
+        tb = EventWriter(os.path.join(out_dir, "tb"))
     t0 = time.time()
     for it_no in range(int(state.step), solver["max_iter"]):
         state, losses = step_fn(state, next_global_batch())
@@ -291,6 +328,8 @@ def main(argv=None):
             if dist.is_main():
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(line) + "\n")
+                tb.add_scalars({k: v for k, v in line.items() if k != "iteration"}, step_no)
+                tb.flush()
             print(line, flush=True)
         if step_no % solver["checkpoint_period"] == 0 or step_no == solver["max_iter"]:
             if dist.is_main():

@@ -86,16 +86,10 @@ def test_d2_converter_full_coverage():
     model = CascadeMaskRCNN(cfg)
     import jax.numpy as jnp
 
-    variables = jax.eval_shape(
+    variables = jax.jit(
         lambda k: model.init(k, jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
-                             method=CascadeMaskRCNN.init_all),
-        jax.random.PRNGKey(0),
-    )
-    # need concrete shapes for synth; use a real init at tiny scale
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
-        method=CascadeMaskRCNN.init_all,
-    )
+                             method=CascadeMaskRCNN.init_all)
+    )(jax.random.PRNGKey(0))
     sd = _synth_d2_sd(jax.device_get(variables["params"]), variables["batch_stats"])
     out = convert_d2_detector_state_dict(sd)
 

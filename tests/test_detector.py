@@ -120,12 +120,12 @@ def _tiny_cfg():
     return DetectorConfig(
         image_size=64,
         max_gt=8,
-        gt_mask_res=32,
-        rpn_pre_nms_topk_train=64,
-        rpn_pre_nms_topk_test=32,
-        rpn_post_nms_topk_train=64,
-        rpn_post_nms_topk_test=32,
-        stage_samples=16,
+        gt_mask_res=16,
+        rpn_pre_nms_topk_train=32,
+        rpn_pre_nms_topk_test=16,
+        rpn_post_nms_topk_train=32,
+        rpn_post_nms_topk_test=16,
+        stage_samples=8,
         detections_per_image=8,
         stage_blocks=(1, 1, 1, 1),
     )
@@ -161,13 +161,21 @@ def test_detector_train_and_inference_end_to_end():
     cfg = _tiny_cfg()
     model = CascadeMaskRCNN(cfg)
     batch = _tiny_batch(cfg)
-    variables = model.init(
-        jax.random.PRNGKey(0), batch["images"], method=CascadeMaskRCNN.init_all
-    )
+    variables = jax.jit(
+        lambda k: model.init(k, batch["images"], method=CascadeMaskRCNN.init_all)
+    )(jax.random.PRNGKey(0))
 
-    losses, new_stats = detector_forward_train(
-        model, variables, cfg, batch, jax.random.PRNGKey(1)
-    )
+    # ONE compiled value_and_grad covers both the loss surface and the
+    # grad-flow checks (a separate eager forward + grad trace tripled
+    # the compile cost of this test)
+    def total(params):
+        l, _ = detector_forward_train(
+            model, {"params": params, "batch_stats": variables["batch_stats"]},
+            cfg, batch, jax.random.PRNGKey(1),
+        )
+        return sum(jax.tree_util.tree_leaves(l)), l
+
+    (_, losses), grads = jax.jit(jax.value_and_grad(total, has_aux=True))(variables["params"])
     expected = {
         "loss_rpn_cls", "loss_rpn_loc",
         "loss_cls_stage0", "loss_cls_stage1", "loss_cls_stage2",
@@ -179,19 +187,13 @@ def test_detector_train_and_inference_end_to_end():
         assert np.isfinite(float(v)), k
 
     # gradients flow to every major submodule
-    def total(params):
-        l, _ = detector_forward_train(
-            model, {"params": params, "batch_stats": variables["batch_stats"]},
-            cfg, batch, jax.random.PRNGKey(1),
-        )
-        return sum(jax.tree_util.tree_leaves({k: v for k, v in l.items()}))
-
-    grads = jax.grad(total)(variables["params"])
     for mod in ("backbone", "rpn", "box_head0", "box_head1", "box_head2", "mask_head"):
         g = jax.tree_util.tree_leaves(grads[mod])
         assert any(float(jnp.abs(x).max()) > 0 for x in g), f"no grad in {mod}"
 
-    out = detector_forward_inference(model, variables, cfg, batch["images"], batch["image_hw"])
+    out = jax.jit(
+        lambda v, im, hw: detector_forward_inference(model, v, cfg, im, hw)
+    )(variables, batch["images"], batch["image_hw"])
     assert out["boxes"].shape == (2, cfg.detections_per_image, 4)
     assert out["scores"].shape == (2, cfg.detections_per_image)
     assert out["masks"].shape == (2, cfg.detections_per_image, 28, 28)
@@ -204,14 +206,14 @@ def test_detector_inference_with_given_boxes():
     cfg = _tiny_cfg()
     model = CascadeMaskRCNN(cfg)
     batch = _tiny_batch(cfg)
-    variables = model.init(
-        jax.random.PRNGKey(0), batch["images"], method=CascadeMaskRCNN.init_all
-    )
+    variables = jax.jit(
+        lambda k: model.init(k, batch["images"], method=CascadeMaskRCNN.init_all)
+    )(jax.random.PRNGKey(0))
     boxes = jnp.asarray(np.tile(np.array([[5.0, 5, 40, 40], [10, 10, 50, 50]], np.float32), (2, 1, 1)))
     valid = jnp.ones((2, 2), bool)
-    out = detector_forward_with_boxes(
-        model, variables, cfg, batch["images"], batch["image_hw"], boxes, valid
-    )
+    out = jax.jit(
+        lambda v, im, hw, b, va: detector_forward_with_boxes(model, v, cfg, im, hw, b, va)
+    )(variables, batch["images"], batch["image_hw"], boxes, valid)
     assert out["boxes"].shape == (2, 2, 4)
     assert out["scores"].shape == (2, 2)
     assert out["masks"].shape == (2, 2, 28, 28)

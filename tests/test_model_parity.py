@@ -64,7 +64,9 @@ def test_converter_covers_flax_param_tree():
     tmodel = TorchDPTObjectness()
     params = convert_objectness_state_dict(tmodel.state_dict())
     fmodel = _tiny_flax_objectness()
-    init = fmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    init = jax.jit(
+        lambda k: fmodel.init(k, jnp.zeros((1, 64, 64, 3)))["params"]
+    )(jax.random.PRNGKey(0))
     flat_init = jax.tree_util.tree_leaves_with_path(init)
     flat_conv = dict(jax.tree_util.tree_flatten_with_path(params)[0])
     missing, bad_shape = [], []

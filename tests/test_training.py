@@ -107,13 +107,13 @@ def test_objectness_train_step_on_mesh_decreases_loss():
     }
     batch = shard_batch(mesh, batch)
     losses = []
-    for _ in range(8):
+    for _ in range(5):
         state, metrics = step(state, batch)
         losses.append(float(metrics["total"]))
-    assert np.mean(losses[-2:]) < losses[0] * 0.95, losses
+    assert losses[-1] < losses[0] * 0.97, losses
     for key in ("center_field", "sdf", "sdf_gradient", "sdf_binary_mask"):
         assert key in metrics
-    assert int(state.step) == 8
+    assert int(state.step) == 5
 
 
 def test_classifier_train_step_and_eval():

@@ -167,6 +167,9 @@ def train_center_and_boundary(args):
     )
 
     ckpt_writer = AsyncCheckpointer()
+    from unmore_tpu.utils.tensorboard import EventWriter
+
+    tb = EventWriter(os.path.join(result_folder, "tb"))
     loss_acc = None  # device-side scalar; pulled to host once per log window
     host_batch = None
     t0 = time.time()
@@ -210,6 +213,9 @@ def train_center_and_boundary(args):
             rate = args.log_every / dt
             t0 = time.time()
             _append_train_log(train_log_path, step_no, avg)
+            tb.add_scalar("total_loss", avg, step_no)
+            tb.add_scalar("imgs_per_sec", rate * args.batch_size, step_no)
+            tb.flush()
             print(
                 f"iter {step_no} loss {avg:.4f} ({rate:.2f} it/s, "
                 f"{rate * args.batch_size:.1f} imgs/s, "

@@ -542,6 +542,7 @@ class ObjectDiscoveryEngine:
             return [empty(stats_per_img[i]) for i in range(n_img)]
 
         # step 2: center reasoning
+        g_stats["n_center_in"] = int(np.sum(np.asarray(valid)))
         center_out = self._center_j(self.variables, canvases, hw_j, boxes, idx, valid)
         boxes, idx, passed = center_out["boxes"], center_out["idx"], center_out["passed"]
         split_boxes = center_out["split_boxes"]
@@ -564,6 +565,7 @@ class ObjectDiscoveryEngine:
                 self.variables, canvases, split_boxes, split_idx, split_valid
             )
             split_valid = split_valid & (s_scores >= c.class_score_thres)
+            g_stats["n_recheck_center_in"] = int(np.sum(np.asarray(split_valid)))
             recheck = self._center_nocc_j(self.variables, canvases, hw_j, split_boxes, split_idx, split_valid)
             split_boxes, split_idx = recheck["boxes"], recheck["idx"]
             split_passed = recheck["passed"]
