@@ -80,6 +80,8 @@ class DetectorConfig:
     detections_per_image: int = 100
     # model
     pooler_sampling: Any = 2  # per-bin samples; "adaptive" = exact d2 ratio-0
+    remat_backbone: bool = True  # checkpoint trunk blocks (HBM headroom for
+    # realistic batches at 1024^2; forward-only inference cost unchanged)
     dtype: Any = jnp.float32
     precision: Any = None
     bn_axis_name: str | None = None
@@ -96,7 +98,8 @@ class CascadeMaskRCNN(nn.Module):
         c = self.cfg
         self.backbone = ResNetFPN(
             out_channels=256, dtype=c.dtype, precision=c.precision,
-            bn_axis_name=c.bn_axis_name, stage_blocks=c.stage_blocks, name="backbone",
+            bn_axis_name=c.bn_axis_name, stage_blocks=c.stage_blocks,
+            remat=c.remat_backbone, name="backbone",
         )
         self.rpn_head = RPNHead(num_anchors=3, dtype=c.dtype, precision=c.precision, name="rpn")
         self.box_heads = [

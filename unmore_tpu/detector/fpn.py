@@ -31,6 +31,8 @@ class ResNet50Trunk(nn.Module):
     bn_axis_name: str | None = None
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
     freeze_stem: bool = False
+    remat: bool = False  # jax.checkpoint each bottleneck: trades ~1/3 more
+    # FLOPs for activation memory (enables IMS_PER_BATCH 8+ at 1024^2 HBM)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -44,17 +46,19 @@ class ResNet50Trunk(nn.Module):
         if self.freeze_stem:
             out = jax.lax.stop_gradient(out)
 
+        block_cls = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
+
         feats = {}
         planes = 64
         for stage, blocks in enumerate(self.stage_blocks):
             for b in range(blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                out = Bottleneck(
+                out = block_cls(
                     planes, stride=stride, downsample=(b == 0),
                     dtype=self.dtype, precision=self.precision,
                     bn_axis_name=self.bn_axis_name,
                     name=f"layer{stage + 1}_{b}",
-                )(out, train=train)
+                )(out, train)
             feats[f"C{stage + 2}"] = out
             planes *= 2
         return feats
@@ -98,11 +102,12 @@ class ResNetFPN(nn.Module):
     precision: Any = None
     bn_axis_name: str | None = None
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images, train: bool = False):
         feats = ResNet50Trunk(
             dtype=self.dtype, precision=self.precision, bn_axis_name=self.bn_axis_name,
-            stage_blocks=self.stage_blocks, name="trunk",
+            stage_blocks=self.stage_blocks, remat=self.remat, name="trunk",
         )(images, train=train)
         return FPN(self.out_channels, self.dtype, self.precision, name="fpn")(feats)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 FPN_STRIDES = {"P2": 4, "P3": 8, "P4": 16, "P5": 32}
 
@@ -70,9 +71,20 @@ def roi_align_level(feat: jax.Array, boxes: jax.Array, stride: int, out_size: in
     ys_g = jnp.broadcast_to(ys[:, :, None], (N, Sy, Sx)).reshape(N, Sy * Sx)
     xs_g = jnp.broadcast_to(xs[:, None, :], (N, Sy, Sx)).reshape(N, Sy * Sx)
     vals = _bilinear_sample(feat, ys_g, xs_g)  # [N, Sy*Sx, C]
+    # per-bin mean as a tiny averaging matmul: a 6-D
+    # [N, out, sy, out, sx, C] reshape forces a pathological TPU tiling
+    # (73x pad expansion at sy=sx=2) and keeps huge temporaries live
+    avg = np.zeros((out_size * out_size, Sy * Sx), np.float32)
+    for oy in range(out_size):
+        for ox in range(out_size):
+            for a in range(sy):
+                for b_ in range(sx):
+                    avg[oy * out_size + ox, (oy * sy + a) * Sx + ox * sx + b_] = 1.0 / (sy * sx)
+    pooled = jnp.einsum(
+        "os,nsc->noc", jnp.asarray(avg), vals, preferred_element_type=jnp.float32
+    )
     C = vals.shape[-1]
-    vals = vals.reshape(N, out_size, sy, out_size, sx, C)
-    return vals.mean(axis=(2, 4))
+    return pooled.reshape(N, out_size, out_size, C)
 
 
 def roi_align_level_adaptive(feat: jax.Array, boxes: jax.Array, stride: int,
@@ -116,13 +128,19 @@ def roi_align_fpn(features: dict, boxes: jax.Array, out_size: int,
     quantification/eval use; see scripts/roi_align_ab.py).
     """
     levels = assign_levels(boxes)
+    # checkpoint the per-level gathers: all 4 pooled tensors would
+    # otherwise stay live as backward residuals of the level select
+    # (4 x 3 GB at batch 8 x 512 proposals x 14^2 — the dominant HBM
+    # allocation of the 1024^2 train step); recomputing a gather is cheap
+    level_fn = jax.checkpoint(
+        roi_align_level_adaptive if sampling == "adaptive" else roi_align_level,
+        static_argnums=(2, 3, 4),
+    )
     out = None
     for name, stride in FPN_STRIDES.items():
         lvl = int(name[1])
-        if sampling == "adaptive":
-            pooled = roi_align_level_adaptive(features[name], boxes, stride, out_size)
-        else:
-            pooled = roi_align_level(features[name], boxes, stride, out_size, sampling)
+        pooled = level_fn(features[name], boxes, stride, out_size,
+                          4 if sampling == "adaptive" else sampling)
         sel = (levels == lvl)[:, None, None, None]
         out = pooled * sel if out is None else out + pooled * sel
     return out
