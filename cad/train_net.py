@@ -272,20 +272,34 @@ def main(argv=None):
     mesh = dist.global_mesh()
     state = replicate(mesh, state)
     step_fn = make_detector_train_step(model, tx, det_cfg, mesh)
-    dataset = DetectionDataset(
-        args.train_json, image_roots, canvas_size=det_cfg.image_size,
-        min_sizes=solver["min_sizes"],
-    )
     # each host draws an independent stream and feeds its slice of the
     # global batch (per-host deterministic seeding, reference
     # cad/data/build.py:560-562)
-    rng = np.random.default_rng(1000 + dist.process_index())
     local_bs = dist.local_batch_size(solver["ims_per_batch"])
-    it = detection_batch_iterator(
-        dataset, local_bs, det_cfg.max_gt, det_cfg.gt_mask_res, rng,
-        copy_paste=solver["copy_paste"], rate=solver["copy_paste_rate"],
-        min_ratio=solver["copy_paste_min_ratio"], max_ratio=solver["copy_paste_max_ratio"],
-        random_num=solver["copy_paste_random_num"],
+
+    # threaded prefetch workers hide JPEG-decode/copy-paste latency
+    # behind the device step (the reference's DataLoader worker
+    # processes, cad/data/build.py:395-456); per-worker dataset + RNG
+    from unmore_tpu.data.prefetch import PrefetchIterator
+
+    def _worker_fn(worker_seed):
+        ds = DetectionDataset(
+            args.train_json, image_roots, canvas_size=det_cfg.image_size,
+            min_sizes=solver["min_sizes"], seed=worker_seed,
+        )
+        w_it = detection_batch_iterator(
+            ds, local_bs, det_cfg.max_gt, det_cfg.gt_mask_res,
+            np.random.default_rng(worker_seed),
+            copy_paste=solver["copy_paste"], rate=solver["copy_paste_rate"],
+            min_ratio=solver["copy_paste_min_ratio"], max_ratio=solver["copy_paste_max_ratio"],
+            random_num=solver["copy_paste_random_num"],
+        )
+        return lambda: next(w_it)
+
+    it = PrefetchIterator(
+        worker_fns=[
+            _worker_fn(1000 + 17 * dist.process_index() + w) for w in range(4)
+        ]
     )
 
     def next_global_batch():
@@ -324,6 +338,7 @@ def main(argv=None):
             line = {k: round(float(v), 4) for k, v in losses.items()}
             line["iteration"] = step_no
             line["ips"] = round(20 * solver["ims_per_batch"] / (time.time() - t0), 2)
+            line["data_starved"] = round(it.starved_fraction, 3)
             t0 = time.time()
             if dist.is_main():
                 with open(metrics_path, "a") as f:
