@@ -14,6 +14,8 @@ import json
 import os
 import time
 
+import numpy as np
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
@@ -72,8 +74,14 @@ def main(argv=None):
         make_apply_fns,
     )
     from unmore_tpu.data.coco import COCOImages
+    from unmore_tpu.parallel import distributed as dist
     from unmore_tpu.reasoning.engine import ObjectDiscoveryEngine, ReasoningConfig
     from unmore_tpu.utils.profiling import StageTimer, profiler_trace
+
+    # multi-host: deterministic per-host image sharding + gather to
+    # process 0 replaces the reference's manual --start_idx/--end_idx
+    # job splitting (datasets.py:432-435); single-process runs unaffected
+    dist.initialize()
 
     if args.run_name is None:
         args.run_name = (
@@ -114,30 +122,36 @@ def main(argv=None):
     engine = ObjectDiscoveryEngine(objectness_fn, classifier_fn, cfg, variables=variables)
 
     dataset = COCOImages(args.coco_image_dir, args.coco_annotations, args.start_idx, args.end_idx)
+    my_indices = dist.host_shard_indices(len(dataset))
     results = {}
     timer = StageTimer()
     t0 = time.time()
     B = args.image_batch
-    for base in range(0, len(dataset), B):
-        group = [dataset.get(i) for i in range(base, min(base + B, len(dataset)))]
+    for base in range(0, len(my_indices), B):
+        group = [dataset.get(int(i)) for i in my_indices[base : base + B]]
         with timer.stage("load"):
             images = [g[0] for g in group]
         with timer.stage("discover"):
             outs = engine.discover_batch(images)
         for (image, image_id), out in zip(group, outs):
             if len(out["boxes"]):
-                results[int(image_id)] = out["boxes"]
+                results[int(image_id)] = np.asarray(out["boxes"]).tolist()
             print(
-                f"[{base + len(group)}/{len(dataset)}] image {image_id}: {out['stats']} "
+                f"[{base + len(group)}/{len(my_indices)}] image {image_id}: {out['stats']} "
                 f"({(base + len(group)) / (time.time() - t0):.3f} img/s)",
                 flush=True,
             )
 
-    out_path = os.path.join(result_folder, "discovery_results.json")
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=2, cls=NpEncoder)
-    timer.dump(os.path.join(result_folder, "stage_timings.json"))
-    print("wrote", out_path)
+    # gather per-host shards; process 0 writes the single contract JSON
+    merged = {}
+    for part in dist.all_gather_objects(results):
+        merged.update(part)
+    if dist.is_main():
+        out_path = os.path.join(result_folder, "discovery_results.json")
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=2, cls=NpEncoder)
+        timer.dump(os.path.join(result_folder, "stage_timings.json"))
+        print("wrote", out_path)
 
 
 if __name__ == "__main__":

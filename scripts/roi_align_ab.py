@@ -29,11 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def value_level_ab(rng):
     import jax.numpy as jnp
 
-    from unmore_tpu.detector.roi_align import (
-        FPN_STRIDES,
-        roi_align_level,
-        roi_align_level_adaptive,
-    )
+    from unmore_tpu.detector.roi_align import roi_align_level, roi_align_level_adaptive
 
     print("value-level |fixed2 - adaptive| by ROI size (stride 16, out 7):")
     feat = jnp.asarray(rng.rand(64, 64, 8).astype(np.float32))
@@ -53,8 +49,6 @@ def value_level_ab(rng):
             f"  side~{side:4d}px (true ratio {ratio}): max|d|={d.max():.4f} "
             f"mean|d|={d.mean():.5f} rel={d.mean() / (np.abs(np.asarray(adaptive)).mean() + 1e-9):.4%}"
         )
-    (void,) = (None,)  # noqa: F841
-    del FPN_STRIDES
 
 
 def ap_level_ab(rng):
@@ -65,7 +59,6 @@ def ap_level_ab(rng):
     from tests.test_detector import _tiny_batch, _tiny_cfg
     from unmore_tpu.detector.cascade_rcnn import CascadeMaskRCNN, detector_forward_inference
     from unmore_tpu.evaluation.coco_eval import evaluate_ap
-    from unmore_tpu.utils import rle as rle_codec
 
     from unmore_tpu.train.detector import (
         init_detector_state,
@@ -124,7 +117,6 @@ def ap_level_ab(rng):
     print("  metric    fixed2  adaptive   delta")
     for k in ("AP", "AP50", "AP75", "AR100"):
         print(f"  {k:8s} {m2[k]:7.4f} {ma[k]:9.4f} {ma[k] - m2[k]:+8.4f}")
-    del rle_codec
 
 
 def main():
