@@ -133,7 +133,7 @@ def test_cad_cli_train_eval_resume(tmp_path):
     cli.main([
         "--config-file", cfg_path, "--canvas-size", "64", "--eval-only",
         "--test-json", json_path, "--test-image-dir", img_dir,
-        "opts", "MODEL.WEIGHTS", os.path.join(out_dir, "model_0000004.ckpt"),
+        "MODEL.WEIGHTS", os.path.join(out_dir, "model_0000004.ckpt"),
     ])
     assert os.path.isfile(os.path.join(out_dir, "metrics_eval_only.json"))
 

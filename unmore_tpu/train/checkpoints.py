@@ -42,6 +42,12 @@ class AsyncCheckpointer:
 
     def save(self, path: str, tree) -> None:
         self.wait()
+        if jax.default_backend() == "cpu":
+            # the XLA:CPU client aborts on background-thread device_get
+            # racing main-thread execution (observed under the 8-virtual-
+            # device test backend); CPU pulls are cheap anyway
+            save_checkpoint(path, tree)
+            return
         # device-side snapshot: safe from later donation of `tree`
         snapshot = jax.tree_util.tree_map(
             lambda x: jnp.array(x) if isinstance(x, jax.Array) else x, tree
