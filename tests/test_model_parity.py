@@ -23,10 +23,10 @@ from tests.torch_ref import TorchDPTObjectness, TorchResNet50Classifier
 HIGH = jax.lax.Precision.HIGHEST
 
 
-def _tiny_flax_objectness():
+def _tiny_flax_objectness(sdf_activation="tanh"):
     return ObjectnessNet(
         backbone_type="dpt_base",
-        sdf_activation="tanh",
+        sdf_activation=sdf_activation,
         use_bg_sdf=True,
         features=16,
         vit_config=ViTConfig(depth=4, dim=32, heads=2, mlp_dim=64, pretrain_grid=4),
@@ -55,6 +55,21 @@ def test_objectness_net_matches_torch_reference(hw):
         np.asarray(got["sdf_maps"]),
         want["sdf_maps"][:, 0].numpy(),
         atol=2e-4,
+    )
+
+
+def test_objectness_net_sine_sdf_head_matches_torch_reference():
+    # sdf_activation='sine' (reference objectness_net.py:120-127) is
+    # CLI-reachable via --sdf_activation sine + --use_bg_sdf
+    torch.manual_seed(3)
+    tmodel = TorchDPTObjectness(sdf_activation="sine").eval()
+    x = np.random.RandomState(4).rand(1, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    params = convert_objectness_state_dict(tmodel.state_dict())
+    got = _tiny_flax_objectness(sdf_activation="sine").apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got["sdf_maps"]), want["sdf_maps"][:, 0].numpy(), atol=2e-4
     )
 
 

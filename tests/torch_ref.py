@@ -51,7 +51,8 @@ class TorchDPTObjectness(nn.Module):
     """
 
     def __init__(self, dim=32, depth=4, heads=2, mlp_dim=64, patch=16,
-                 pretrain_grid=4, hooks=(0, 1, 2, 3), widths=(8, 16, 24, 24), features=16):
+                 pretrain_grid=4, hooks=(0, 1, 2, 3), widths=(8, 16, 24, 24), features=16,
+                 sdf_activation="tanh"):
         super().__init__()
         self.patch, self.hooks, self.widths, self.features = patch, hooks, widths, features
         self.pretrain_grid = pretrain_grid
@@ -104,13 +105,18 @@ class TorchDPTObjectness(nn.Module):
             nn.Conv2d(512, 1024, 1), nn.ReLU(),
             nn.Conv2d(1024, 2, 1),
         )
-        # tanh + use_bg_sdf variant: no intermediate activations
+        # tanh/sine + use_bg_sdf variants: no intermediate activations
+        # (reference models/objectness_net.py:120-135)
+        class _Sin(nn.Module):
+            def forward(self, x):
+                return torch.sin(x)
+
         self.sdf_prediction_head = nn.Sequential(
             nn.Conv2d(features, 512, 1),
             nn.Conv2d(512, 512, 3, padding=1),
             nn.Conv2d(512, 1024, 1),
             nn.Conv2d(1024, 1, 1),
-            nn.Tanh(),
+            nn.Tanh() if sdf_activation == "tanh" else _Sin(),
         )
 
     def _vit_taps(self, x):

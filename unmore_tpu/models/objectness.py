@@ -11,6 +11,18 @@ conv1x1-relu-conv3x3-relu-conv1x1-relu-conv1x1
 Outputs are NHWC: center_fields [B, H, W, 2] with channels (dy, dx) —
 the same channel order as the GT synthesis grid
 (``datasets.py:200-213``) — and sdf_maps [B, H, W].
+
+Not ported (verified dead AND broken in the reference): the legacy
+``backbone_type='resnet50'`` FCN branch (``models/objectness_net.py:51-61``)
+calls ``_fcn_resnet`` which is never imported or defined anywhere in the
+reference repo, and reads ``args.num_classes`` /
+``args.replace_stride_with_dilation`` / ``args.use_seperate_backbone`` /
+``args.pretrain_weights`` which the reference CLI
+(``train_objectness_net.py:747-846``) never adds — selecting it raises
+NameError/AttributeError. Same category as the vendored-dead
+``models/dpt/midas_net.py``. (The ``sdf_activation='sine'`` head variant
+(``models/objectness_net.py:120-127``) IS CLI-reachable and IS supported
+here.)
 """
 
 from __future__ import annotations
@@ -34,7 +46,7 @@ class ConvHead(nn.Module):
 
     out_channels: int
     use_relu: bool
-    final_tanh: bool = False
+    final_act: str | None = None  # 'tanh' | 'sine' | None
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -45,8 +57,10 @@ class ConvHead(nn.Module):
         x = act(nn.Conv(512, (3, 3), padding=1, dtype=self.dtype, precision=self.precision, name="conv1")(x))
         x = act(nn.Conv(1024, (1, 1), dtype=self.dtype, precision=self.precision, name="conv2")(x))
         x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, precision=self.precision, name="conv3")(x)
-        if self.final_tanh:
+        if self.final_act == "tanh":
             x = jnp.tanh(x)
+        elif self.final_act == "sine":
+            x = jnp.sin(x)
         return x
 
 
@@ -78,14 +92,16 @@ class ObjectnessNet(nn.Module):
             name="backbone",
         )(images)
         center = ConvHead(2, use_relu=True, dtype=self.dtype, precision=self.precision, name="center_head")(feat)
-        if self.use_bg_sdf and self.sdf_activation == "tanh":
-            sdf_use_relu, sdf_tanh = False, True
+        if self.use_bg_sdf and self.sdf_activation in ("tanh", "sine"):
+            # tanh/sine bg-sdf heads have no intermediate activations
+            # (objectness_net.py:120-135)
+            sdf_use_relu, sdf_final = False, self.sdf_activation
         elif self.use_bg_sdf and self.sdf_activation is None:
-            sdf_use_relu, sdf_tanh = False, False
+            sdf_use_relu, sdf_final = False, None
         else:  # relu variant / fg-only sdf (objectness_net.py:143-164)
-            sdf_use_relu, sdf_tanh = True, False
+            sdf_use_relu, sdf_final = True, None
         sdf = ConvHead(
-            1, use_relu=sdf_use_relu, final_tanh=sdf_tanh,
+            1, use_relu=sdf_use_relu, final_act=sdf_final,
             dtype=self.dtype, precision=self.precision, name="sdf_head",
         )(feat)
         return {
