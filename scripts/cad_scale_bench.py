@@ -51,23 +51,29 @@ def main():
     results = {"device": jax.devices()[0].device_kind, "canvas": cfg.image_size}
 
     def timed(label, fn, *args, iters=3):
+        # reduce the output pytree to ONE device scalar and pull once per
+        # window: pulling leaves one by one costs ~34 ms of relay sync each, which
+        # inflated round-2 numbers for multi-output functions
+        def scalarized(*a):
+            out = fn(*a)
+            return sum(
+                jnp.sum(x.astype(jnp.float32))
+                for x in jax.tree_util.tree_leaves(out)
+                if hasattr(x, "dtype")
+            )
+
+        jfn = jax.jit(scalarized)
         t0 = time.perf_counter()
-        out = fn(*args)
-        # device->host pull forces sync through the relay
-        jax.tree_util.tree_map(
-            lambda x: float(jnp.sum(x.astype(jnp.float32))) if hasattr(x, "dtype") else x, out
-        )
+        float(jfn(*args))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
+        h = None
         for _ in range(iters):
-            out = fn(*args)
-            jax.tree_util.tree_map(
-                lambda x: float(jnp.sum(x.astype(jnp.float32))) if hasattr(x, "dtype") else x, out
-            )
+            h = jfn(*args)  # independent calls serialize on the device stream
+        float(h)  # one end-of-window sync, amortized
         dt = (time.perf_counter() - t0) / iters
         results[label] = {"s": round(dt, 3), "compile_s": round(compile_s, 1)}
         print(f"{label}: {dt:.3f}s (compile/warm {compile_s:.1f}s)", flush=True)
-        return out
 
     rng = np.random.RandomState(0)
 
@@ -115,7 +121,7 @@ def main():
     iters = 5
     for _ in range(iters):
         state, losses = step(state, batch)
-        float(losses["total"])
+    float(losses["total"])  # one end-of-window sync
     dt = (time.perf_counter() - t0) / iters
     results[f"train_step_b{B}_1024"] = {"s": round(dt, 3), "compile_s": round(compile_s, 1)}
     results[f"train_imgs_per_sec_b{B}"] = round(B / dt, 2)

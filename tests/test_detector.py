@@ -74,6 +74,33 @@ def test_roi_align_constant_region():
     assert float(out2.mean()) < 5.0
 
 
+def test_roi_align_fpn_flat_matches_per_level_reference():
+    # the production path pools from one flattened multi-level buffer;
+    # it must equal the straightforward pool-every-level-and-select
+    from unmore_tpu.detector.roi_align import FPN_STRIDES, assign_levels, roi_align_fpn
+
+    rng = np.random.RandomState(7)
+    S = 128
+    feats = {
+        n: jnp.asarray(rng.rand(S // s, S // s, 8).astype(np.float32))
+        for n, s in FPN_STRIDES.items()
+    }
+    # box sizes spanning all four FPN bands (areas from ~30^2 to ~450^2,
+    # in a virtual image larger than the canvas so clipping also hits)
+    xy = rng.rand(64, 2).astype(np.float32) * 80
+    wh = (rng.rand(64, 2).astype(np.float32) ** 2) * 420 + 30
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1))
+
+    got = roi_align_fpn(feats, boxes, out_size=7, sampling=2)
+    levels = assign_levels(boxes)
+    want = None
+    for n, stride in FPN_STRIDES.items():
+        pooled = roi_align_level(feats[n], boxes, stride, 7, 2)
+        sel = (levels == int(n[1]))[:, None, None, None]
+        want = pooled * sel if want is None else want + pooled * sel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_soft_target_ce_and_droploss():
     scores = jnp.asarray([[3.0, -3.0], [-3.0, 3.0], [0.0, 0.0]])
     fg = jnp.asarray([True, False, False])

@@ -124,6 +124,29 @@ def test_nms_matches_greedy_reference():
     assert sorted(np.nonzero(keep)[0].tolist()) == _numpy_nms(boxes, scores, 0.5)
 
 
+def test_nms_frontier_rounds_match_greedy_with_ties_and_padding():
+    # the frontier-confirmation algorithm must reach the exact greedy
+    # fixpoint regardless of suppression-chain shape, score ties
+    # (index-order tie-break) and invalid padding slots
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        n = int(rng.choice([16, 64, 257]))
+        xy = rng.rand(n, 2) * 80
+        wh = rng.rand(n, 2) * 40 + 2
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        if trial % 3 == 0:
+            scores = np.round(scores, 1)  # force ties
+        valid = rng.rand(n) > 0.2
+        thr = float(rng.choice([0.3, 0.5, 0.65]))
+        want = set(_numpy_nms(boxes, np.where(valid, scores, -1e9), thr))
+        want = {i for i in want if valid[i]}
+        got = np.asarray(
+            nms_mask(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), thr)
+        )
+        assert set(np.nonzero(got)[0].tolist()) == want, trial
+
+
 def test_nms_respects_validity_and_padding():
     boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60], [0, 0, 0, 0]], np.float32)
     scores = np.array([0.9, 0.8, 0.7, 10.0], np.float32)

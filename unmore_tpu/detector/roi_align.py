@@ -122,29 +122,97 @@ def assign_levels(boxes: jax.Array, k_min: int = 2, k_max: int = 5) -> jax.Array
     return jnp.clip(lvl, k_min, k_max).astype(jnp.int32)
 
 
+def _roi_align_flat(feats_tuple, boxes, shapes, out_size: int, sy: int, sx: int):
+    """Pool each box from its assigned level only, through one flattened
+    [sum(H_l*W_l), C] buffer: one 4-corner gather instead of
+    pool-all-levels-and-select (4x less gather fwd + scatter bwd work).
+
+    feats_tuple: (P2, P3, P4, P5) feature maps [H_l, W_l, C];
+    shapes: static ((H,W), ...) matching feats_tuple.
+    """
+    C = feats_tuple[0].shape[-1]
+    N = boxes.shape[0]
+    flat = jnp.concatenate([f.reshape(-1, C) for f in feats_tuple], axis=0)
+    sizes = np.array([h * w for h, w in shapes], np.int64)
+    offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]), jnp.int32)
+    Hs = jnp.asarray([h for h, _ in shapes], jnp.int32)
+    Ws = jnp.asarray([w for _, w in shapes], jnp.int32)
+
+    lvl = assign_levels(boxes) - 2  # [N] in [0, 3]
+    stride = (4.0 * 2.0 ** lvl.astype(jnp.float32))  # [N]
+    H_b, W_b = Hs[lvl], Ws[lvl]  # [N]
+    off_b = offsets[lvl]  # [N]
+
+    Sy, Sx = out_size * sy, out_size * sx
+    x1 = boxes[:, 0] / stride - 0.5
+    y1 = boxes[:, 1] / stride - 0.5
+    bw = jnp.maximum(boxes[:, 2] / stride - 0.5 - x1, 1e-6)
+    bh = jnp.maximum(boxes[:, 3] / stride - 0.5 - y1, 1e-6)
+    grid_y = (jnp.arange(Sy, dtype=jnp.float32) + 0.5) / Sy
+    grid_x = (jnp.arange(Sx, dtype=jnp.float32) + 0.5) / Sx
+    ys = y1[:, None] + grid_y[None, :] * bh[:, None]  # [N, Sy]
+    xs = x1[:, None] + grid_x[None, :] * bw[:, None]  # [N, Sx]
+    ys_g = jnp.broadcast_to(ys[:, :, None], (N, Sy, Sx)).reshape(N, Sy * Sx)
+    xs_g = jnp.broadcast_to(xs[:, None, :], (N, Sy, Sx)).reshape(N, Sy * Sx)
+
+    y0 = jnp.floor(ys_g)
+    x0 = jnp.floor(xs_g)
+    wy1 = ys_g - y0
+    wx1 = xs_g - x0
+    out = 0.0
+    for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
+        for dx, wx in ((0, 1.0 - wx1), (1, wx1)):
+            yi = y0.astype(jnp.int32) + dy
+            xi = x0.astype(jnp.int32) + dx
+            inb = (
+                (yi >= 0) & (yi < H_b[:, None]) & (xi >= 0) & (xi < W_b[:, None])
+            )
+            yc = jnp.clip(yi, 0, H_b[:, None] - 1)
+            xc = jnp.clip(xi, 0, W_b[:, None] - 1)
+            rows = flat[off_b[:, None] + yc * W_b[:, None] + xc]  # [N, S, C]
+            # accumulate in the feature dtype (see _bilinear_sample note)
+            out = out + rows * ((wy * wx) * inb)[..., None].astype(flat.dtype)
+
+    avg = np.zeros((out_size * out_size, Sy * Sx), np.float32)
+    for oy in range(out_size):
+        for ox in range(out_size):
+            for a in range(sy):
+                for b_ in range(sx):
+                    avg[oy * out_size + ox, (oy * sy + a) * Sx + ox * sx + b_] = 1.0 / (sy * sx)
+    pooled = jnp.einsum(
+        "os,nsc->noc", jnp.asarray(avg), out, preferred_element_type=jnp.float32
+    )
+    return pooled.reshape(N, out_size, out_size, C)
+
+
 def roi_align_fpn(features: dict, boxes: jax.Array, out_size: int,
                   sampling: int | str = 2) -> jax.Array:
     """features: {P2..P5: [H_l, W_l, C]} (single image); boxes [N, 4].
 
     -> [N, out_size, out_size, C], each box pooled from its FPN level.
-    sampling: fixed per-bin count, or "adaptive" for exact d2
-    sampling_ratio=0 semantics (16 pooled variants per level —
-    quantification/eval use; see scripts/roi_align_ab.py).
+    sampling: fixed per-bin count (pooled through one flattened
+    multi-level gather), or "adaptive" for exact d2 sampling_ratio=0
+    semantics (16 pooled variants per level — quantification/eval use;
+    see scripts/roi_align_ab.py).
     """
-    levels = assign_levels(boxes)
-    # checkpoint the per-level gathers: all 4 pooled tensors would
-    # otherwise stay live as backward residuals of the level select
-    # (4 x 3 GB at batch 8 x 512 proposals x 14^2 — the dominant HBM
-    # allocation of the 1024^2 train step); recomputing a gather is cheap
-    level_fn = jax.checkpoint(
-        roi_align_level_adaptive if sampling == "adaptive" else roi_align_level,
-        static_argnums=(2, 3, 4),
+    if sampling == "adaptive":
+        levels = assign_levels(boxes)
+        # checkpoint the per-level gathers: all pooled variants would
+        # otherwise stay live as backward residuals of the level select
+        level_fn = jax.checkpoint(roi_align_level_adaptive, static_argnums=(2, 3, 4))
+        out = None
+        for name, stride in FPN_STRIDES.items():
+            lvl = int(name[1])
+            pooled = level_fn(features[name], boxes, stride, out_size, 4)
+            sel = (levels == lvl)[:, None, None, None]
+            out = pooled * sel if out is None else out + pooled * sel
+        return out
+
+    names = ("P2", "P3", "P4", "P5")
+    shapes = tuple(features[n].shape[:2] for n in names)
+    # checkpoint: recompute the gather in the backward pass instead of
+    # keeping the [N, S, C] sample tensor live as a residual
+    flat_fn = jax.checkpoint(_roi_align_flat, static_argnums=(2, 3, 4, 5))
+    return flat_fn(
+        tuple(features[n] for n in names), boxes, shapes, out_size, sampling, sampling
     )
-    out = None
-    for name, stride in FPN_STRIDES.items():
-        lvl = int(name[1])
-        pooled = level_fn(features[name], boxes, stride, out_size,
-                          4 if sampling == "adaptive" else sampling)
-        sel = (levels == lvl)[:, None, None, None]
-        out = pooled * sel if out is None else out + pooled * sel
-    return out

