@@ -242,10 +242,21 @@ def main(argv=None):
         my_indices = dist.host_shard_indices(len(dataset))
         preds = []
         t0 = time.time()
-        for n_done, idx in enumerate(my_indices):
-            image, image_id = dataset.get(int(idx))
-            preds.extend(evaluator.predict_image(image, int(image_id)))
-            print(f"[{n_done + 1}/{len(my_indices)}] ({(n_done + 1) / (time.time() - t0):.2f} img/s)", flush=True)
+        # batched inference: pad the trailing chunk with tiny blank images
+        # under a sentinel id so the jitted forward compiles for exactly
+        # one batch size, then drop the sentinel's predictions
+        eval_bs = 4
+        pad = (np.zeros((8, 8, 3), np.float32), -1)
+        for c0 in range(0, len(my_indices), eval_bs):
+            chunk = [dataset.get(int(i)) for i in my_indices[c0 : c0 + eval_bs]]
+            n_real = len(chunk)
+            chunk += [pad] * (eval_bs - n_real)
+            anns = evaluator.predict_batch(
+                [im for im, _ in chunk], [int(i) for _, i in chunk]
+            )
+            preds.extend(a for a in anns if a["image_id"] != -1)
+            n_done = min(c0 + eval_bs, len(my_indices))
+            print(f"[{n_done}/{len(my_indices)}] ({n_done / (time.time() - t0):.2f} img/s)", flush=True)
         all_preds = [p for chunk in dist.all_gather_objects(preds) for p in chunk]
         if not dist.is_main():
             return None

@@ -210,8 +210,10 @@ def main():
     measure("train_fwd_loss", train_fwd, state.params, state.batch_stats, batch)
 
     step = make_detector_train_step(model, tx, cfg)
-    # don't donate the state we keep reusing: copy via identity
-    measure("train_step", lambda s, b: step(s, b)[1], state, batch)
+    # return the FULL new state: returning only the losses lets XLA DCE
+    # the entire backward+update inside the scalarizing wrapper (inner
+    # donation is a no-op under the outer jit, so reusing state is safe)
+    measure("train_step", step, state, batch)
 
     def infer(variables, images, hw):
         return detector_forward_inference(model, variables, cfg, images, hw)

@@ -87,49 +87,55 @@ def main():
     nms_j = jax.jit(lambda b, s, v: nms_mask(b, s, v, iou_threshold=0.65))
     timed(f"greedy_nms_{n}", nms_j, boxes, scores, valid)
 
-    # ---- training step (batch 2, full pipeline) ---------------------
-    B = 2
+    # ---- training step (full pipeline) at batch 2 and 8 --------------
     tx = make_detector_optimizer()
-    state = init_detector_state(model, tx, jax.random.PRNGKey(0), cfg)
     step = make_detector_train_step(model, tx, cfg)
-    gt_boxes = np.zeros((B, cfg.max_gt, 4), np.float32)
-    gt_valid = np.zeros((B, cfg.max_gt), bool)
-    gt_masks = np.zeros((B, cfg.max_gt, cfg.gt_mask_res, cfg.gt_mask_res), np.float32)
-    for b in range(B):
-        for g in range(12):
-            x1, y1 = rng.rand(2) * 700
-            w, h = rng.rand(2) * 250 + 30
-            gt_boxes[b, g] = [x1, y1, x1 + w, y1 + h]
-            gt_valid[b, g] = True
-            gt_masks[b, g, 16:-16, 16:-16] = 1.0
-    batch = {
-        "images": jnp.asarray(rng.rand(B, 1024, 1024, 3).astype(np.float32)),
-        "image_hw": jnp.asarray(np.tile([1024.0, 1024.0], (B, 1)).astype(np.float32)),
-        "gt_boxes": jnp.asarray(gt_boxes),
-        "gt_scores": jnp.asarray(gt_valid.astype(np.float32) * 0.9),
-        "gt_valid": jnp.asarray(gt_valid),
-        "gt_masks": jnp.asarray(gt_masks),
-        "is_single_object": jnp.zeros((B,)),
-    }
-
-    # the step donates its state argument -> thread it through explicitly
-    t0 = time.perf_counter()
-    state, losses = step(state, batch)
-    float(losses["total"])
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        state, losses = step(state, batch)
-    float(losses["total"])  # one end-of-window sync
-    dt = (time.perf_counter() - t0) / iters
-    results[f"train_step_b{B}_1024"] = {"s": round(dt, 3), "compile_s": round(compile_s, 1)}
-    results[f"train_imgs_per_sec_b{B}"] = round(B / dt, 2)
-    print(f"train_step_b{B}_1024: {dt:.3f}s (compile/warm {compile_s:.1f}s)", flush=True)
-    print("losses:", {k: round(float(v), 3) for k, v in losses.items()})
+    state = None
+    for B in (2, 8):
+        gt_boxes = np.zeros((B, cfg.max_gt, 4), np.float32)
+        gt_valid = np.zeros((B, cfg.max_gt), bool)
+        gt_masks = np.zeros((B, cfg.max_gt, cfg.gt_mask_res, cfg.gt_mask_res), np.float32)
+        for b in range(B):
+            for g in range(12):
+                x1, y1 = rng.rand(2) * 700
+                w, h = rng.rand(2) * 250 + 30
+                gt_boxes[b, g] = [x1, y1, x1 + w, y1 + h]
+                gt_valid[b, g] = True
+                gt_masks[b, g, 16:-16, 16:-16] = 1.0
+        batch = {
+            "images": jnp.asarray(rng.rand(B, 1024, 1024, 3).astype(np.float32)),
+            "image_hw": jnp.asarray(np.tile([1024.0, 1024.0], (B, 1)).astype(np.float32)),
+            "gt_boxes": jnp.asarray(gt_boxes),
+            "gt_scores": jnp.asarray(gt_valid.astype(np.float32) * 0.9),
+            "gt_valid": jnp.asarray(gt_valid),
+            "gt_masks": jnp.asarray(gt_masks),
+            "is_single_object": jnp.zeros((B,)),
+        }
+        # fresh state per batch size: the step donates its state argument
+        state = init_detector_state(model, tx, jax.random.PRNGKey(0), cfg)
+        try:
+            t0 = time.perf_counter()
+            state, losses = step(state, batch)
+            float(losses["total"])
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            iters = 5
+            for _ in range(iters):
+                state, losses = step(state, batch)
+            float(losses["total"])  # one end-of-window sync
+            dt = (time.perf_counter() - t0) / iters
+        except Exception as e:  # e.g. HBM OOM at batch 8
+            results[f"train_step_b{B}_1024"] = {"error": str(e)[:200]}
+            print(f"train_step_b{B}_1024 failed: {str(e)[:120]}", flush=True)
+            continue
+        results[f"train_step_b{B}_1024"] = {"s": round(dt, 3), "compile_s": round(compile_s, 1)}
+        results[f"train_imgs_per_sec_b{B}"] = round(B / dt, 2)
+        print(f"train_step_b{B}_1024: {dt:.3f}s (compile/warm {compile_s:.1f}s)", flush=True)
+        print("losses:", {k: round(float(v), 3) for k, v in losses.items()})
+        good_state = state
 
     # ---- inference ---------------------------------------------------
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = {"params": good_state.params, "batch_stats": good_state.batch_stats}
     for Bi in (1, 2):
         infer = jax.jit(lambda v, im, hw: detector_forward_inference(model, v, cfg, im, hw))
         timed(

@@ -82,12 +82,35 @@ class DetectorEvaluator:
         )
 
     def predict_image(self, image: np.ndarray, image_id) -> list[dict]:
-        canvas, scale, (nh, nw) = prepare_eval_image(image, self.cfg.image_size, self.min_size_test)
-        dets = self._infer(
-            self.variables,
-            jnp.asarray(canvas[None]),
-            jnp.asarray([[nh, nw]], jnp.float32),
+        return self.predict_batch([image], [image_id])
+
+    def predict_batch(self, images: list, image_ids: list) -> list[dict]:
+        """One jitted inference call over a stack of canvases.
+
+        The reference evaluates one image per forward
+        (``cad/engine/defaults.py:679-683`` InferenceSampler batch 1); on
+        TPU a batch amortizes the dispatch + trunk cost — measured 27.6
+        vs 3.6 img/s at canvas 1024 (scripts/cad_profile_results.json).
+        Returns the concatenated COCO annotation dicts.
+        """
+        S = self.cfg.image_size
+        B = len(images)
+        canvases = np.zeros((B, S, S, 3), np.float32)
+        hw = np.ones((B, 2), np.float32)
+        scales = []
+        for i, image in enumerate(images):
+            canvases[i], scale, (nh, nw) = prepare_eval_image(image, S, self.min_size_test)
+            hw[i] = (nh, nw)
+            scales.append(scale)
+        dets = jax.device_get(
+            self._infer(self.variables, jnp.asarray(canvases), jnp.asarray(hw))
         )
-        return detections_to_coco(
-            jax.device_get(dets), image_id, scale, image.shape[:2], with_masks=self.cfg.mask_on
-        )
+        anns = []
+        for i, image_id in enumerate(image_ids):
+            anns.extend(
+                detections_to_coco(
+                    dets, image_id, scales[i], images[i].shape[:2],
+                    batch_index=i, with_masks=self.cfg.mask_on,
+                )
+            )
+        return anns
