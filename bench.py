@@ -228,6 +228,33 @@ def main():
             extra["mfu_pinned"] = round(pinned_tflop * pinned_ips / peak_tflops, 4)
             extra["sol_images_per_sec_pinned"] = round(peak_tflops / pinned_tflop, 4)
             extra["sol_images_per_sec_recorded"] = round(peak_tflops / rec_tflop, 4)
+
+    # sibling measured results (stage-1 training + CAD detector), recorded by
+    # scripts/stage1_train_bench.py and scripts/cad_scale_bench.py on this chip
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "scripts", "cad_scale_results.json")) as f:
+            cad = json.load(f)
+        extra["cad_1024_bf16"] = {
+            k: cad[k]
+            for k in (
+                "train_imgs_per_sec_b2", "train_imgs_per_sec_b8",
+                "inference_imgs_per_sec_b1", "inference_imgs_per_sec_b2",
+            )
+            if k in cad
+        }
+    except Exception:
+        pass
+    try:
+        with open(os.path.join(here, "scripts", "stage1_train_results.json")) as f:
+            s1 = json.load(f)
+        extra["stage1_train_step"] = {
+            f"imgs_per_sec_b{r['batch']}": r["imgs_per_s"]
+            for r in s1.get("sweep", [])
+            if "imgs_per_s" in r
+        }
+    except Exception:
+        pass
     print(
         json.dumps(
             {
