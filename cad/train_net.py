@@ -244,19 +244,30 @@ def main(argv=None):
         t0 = time.time()
         # batched inference: pad the trailing chunk with tiny blank images
         # under a sentinel id so the jitted forward compiles for exactly
-        # one batch size, then drop the sentinel's predictions
+        # one batch size, then drop the sentinel's predictions. JPEG
+        # decode of the next chunk overlaps the device call on a thread.
+        from concurrent.futures import ThreadPoolExecutor
+
         eval_bs = 4
         pad = (np.zeros((8, 8, 3), np.float32), -1)
-        for c0 in range(0, len(my_indices), eval_bs):
+
+        def load_chunk(c0):
             chunk = [dataset.get(int(i)) for i in my_indices[c0 : c0 + eval_bs]]
-            n_real = len(chunk)
-            chunk += [pad] * (eval_bs - n_real)
-            anns = evaluator.predict_batch(
-                [im for im, _ in chunk], [int(i) for _, i in chunk]
-            )
-            preds.extend(a for a in anns if a["image_id"] != -1)
-            n_done = min(c0 + eval_bs, len(my_indices))
-            print(f"[{n_done}/{len(my_indices)}] ({n_done / (time.time() - t0):.2f} img/s)", flush=True)
+            chunk += [pad] * (eval_bs - len(chunk))
+            return chunk
+
+        with ThreadPoolExecutor(1) as pool:
+            fut = pool.submit(load_chunk, 0) if len(my_indices) else None
+            for c0 in range(0, len(my_indices), eval_bs):
+                chunk = fut.result()
+                if c0 + eval_bs < len(my_indices):
+                    fut = pool.submit(load_chunk, c0 + eval_bs)
+                anns = evaluator.predict_batch(
+                    [im for im, _ in chunk], [int(i) for _, i in chunk]
+                )
+                preds.extend(a for a in anns if a["image_id"] != -1)
+                n_done = min(c0 + eval_bs, len(my_indices))
+                print(f"[{n_done}/{len(my_indices)}] ({n_done / (time.time() - t0):.2f} img/s)", flush=True)
         all_preds = [p for chunk in dist.all_gather_objects(preds) for p in chunk]
         if not dist.is_main():
             return None

@@ -9,6 +9,7 @@
 #   $IMAGENET_DIR         ImageNet train images
 #   $VOTECUT_MASK_DIR     top-1 VoteCut mask PNGs (utils/preprocess_votecut.py)
 #   $COCO_IMG / $COCO_ANN COCO train2017 images + instances json
+#   $DATA_ROOT            root holding the eval datasets (COCO*, LVIS, ...)
 set -euo pipefail
 
 ### 1. Train Objectness Net
@@ -71,10 +72,12 @@ python merge_coco_and_imagenet.py \
 ### 6. Train the Class-Agnostic Detector (reference script.sh:51-53)
 # device count comes from the JAX runtime; --num-gpus is accepted as an
 # alias and checked against jax.device_count()
+# image ids in the merged json carry coco_/imagenet_ prefixes; each
+# prefix maps to its own image root (PREFIX=DIR form)
 python cad/train_net.py \
     --config-file cad/configs/cascade_mask_rcnn_R_50_FPN.yaml \
     --train-json merged_with_imagenet/COCO_merged_IN_training_format.json \
-    --image-root "$COCO_IMG"
+    --image-root coco="$COCO_IMG" --image-root imagenet="$IMAGENET_DIR"
 
 ### 7. Evaluate (reference script.sh:56-62)
 python cad/train_net.py \

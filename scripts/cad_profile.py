@@ -79,48 +79,15 @@ def main():
     }
     results = {"device": jax.devices()[0].device_kind, "batch": B, "canvas": S}
 
+    from scripts.benchlib import measure as bench_measure
+
     def measure(label, fn, *fargs):
-        """Compile, report flops from compiled HLO, time with ONE host pull.
-
-        The wrapped fn reduces its whole output pytree to a single f32
-        scalar ON DEVICE — pulling leaves individually costs ~34 ms of
-        relay sync each (a 265-leaf grad tree would add ~9 s of pure
-        sync and did exactly that in the first version of this script).
-        """
-
-        def scalarized(*a):
-            out = fn(*a)
-            leaves = [
-                jnp.sum(x.astype(jnp.float32))
-                for x in jax.tree_util.tree_leaves(out)
-                if hasattr(x, "dtype")
-            ]
-            return sum(leaves)
-
-        jfn = jax.jit(scalarized)
-        t0 = time.perf_counter()
-        compiled = jfn.lower(*fargs).compile()
-        compile_s = time.perf_counter() - t0
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) if ca else 0.0
-
-        float(jfn(*fargs))  # warm
-        t0 = time.perf_counter()
-        h = None
-        for _ in range(args.iters):
-            h = jfn(*fargs)  # independent calls serialize on the device stream
-        float(h)  # one end-of-window sync, amortized over iters
-        dt = (time.perf_counter() - t0) / args.iters
-        results[label] = {
-            "s": round(dt, 4),
-            "gflops": round(flops / 1e9, 1),
-            "tflops_per_s": round(flops / dt / 1e12, 2),
-            "compile_s": round(compile_s, 1),
-        }
-        print(f"{label}: {dt*1e3:.1f} ms, {flops/1e9:.0f} GF, "
-              f"{flops/dt/1e12:.1f} TF/s (compile {compile_s:.0f}s)", flush=True)
+        """One-scalar-pull timing + compiled-HLO FLOPs (scripts/benchlib.py)."""
+        row = bench_measure(fn, fargs, iters=args.iters)
+        results[label] = row
+        print(f"{label}: {row['s']*1e3:.1f} ms, {row['gflops']:.0f} GF, "
+              f"{row['tflops_per_s']:.1f} TF/s (compile {row['compile_s']:.0f}s)",
+              flush=True)
 
     # ---- trunk ------------------------------------------------------
     def trunk_fwd(variables, images):
@@ -220,7 +187,9 @@ def main():
 
     measure("inference", infer, variables, batch["images"], batch["image_hw"])
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "cad_profile_results.json")
+    # CPU smoke runs must not clobber the recorded TPU numbers
+    name = "cad_profile_results.json" if jax.default_backend() == "tpu" else "cad_profile_results_cpu.json"
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out_path)

@@ -50,30 +50,13 @@ def main():
     model = CascadeMaskRCNN(cfg)
     results = {"device": jax.devices()[0].device_kind, "canvas": cfg.image_size}
 
-    def timed(label, fn, *args, iters=3):
-        # reduce the output pytree to ONE device scalar and pull once per
-        # window: pulling leaves one by one costs ~34 ms of relay sync each, which
-        # inflated round-2 numbers for multi-output functions
-        def scalarized(*a):
-            out = fn(*a)
-            return sum(
-                jnp.sum(x.astype(jnp.float32))
-                for x in jax.tree_util.tree_leaves(out)
-                if hasattr(x, "dtype")
-            )
+    from scripts.benchlib import measure as bench_measure
 
-        jfn = jax.jit(scalarized)
-        t0 = time.perf_counter()
-        float(jfn(*args))
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        h = None
-        for _ in range(iters):
-            h = jfn(*args)  # independent calls serialize on the device stream
-        float(h)  # one end-of-window sync, amortized
-        dt = (time.perf_counter() - t0) / iters
-        results[label] = {"s": round(dt, 3), "compile_s": round(compile_s, 1)}
-        print(f"{label}: {dt:.3f}s (compile/warm {compile_s:.1f}s)", flush=True)
+    def timed(label, fn, *args, iters=3):
+        # one-scalar-pull timing harness (scripts/benchlib.py)
+        row = bench_measure(fn, args, iters=iters)
+        results[label] = {"s": row["s"], "compile_s": row["compile_s"]}
+        print(f"{label}: {row['s']:.3f}s (compile/warm {row['compile_s']:.1f}s)", flush=True)
 
     rng = np.random.RandomState(0)
 
@@ -90,7 +73,7 @@ def main():
     # ---- training step (full pipeline) at batch 2 and 8 --------------
     tx = make_detector_optimizer()
     step = make_detector_train_step(model, tx, cfg)
-    state = None
+    good_state = None
     for B in (2, 8):
         gt_boxes = np.zeros((B, cfg.max_gt, 4), np.float32)
         gt_valid = np.zeros((B, cfg.max_gt), bool)
@@ -135,6 +118,8 @@ def main():
         good_state = state
 
     # ---- inference ---------------------------------------------------
+    if good_state is None:  # every train batch size failed: fresh weights
+        good_state = init_detector_state(model, tx, jax.random.PRNGKey(0), cfg)
     variables = {"params": good_state.params, "batch_stats": good_state.batch_stats}
     for Bi in (1, 2):
         infer = jax.jit(lambda v, im, hw: detector_forward_inference(model, v, cfg, im, hw))
@@ -146,7 +131,9 @@ def main():
             Bi / results[f"inference_b{Bi}_1024"]["s"], 2
         )
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "cad_scale_results.json"), "w") as f:
+    # CPU smoke runs must not clobber the recorded TPU numbers
+    name = "cad_scale_results.json" if jax.default_backend() == "tpu" else "cad_scale_results_cpu.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), name), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

@@ -78,11 +78,13 @@ def main():
             ca = ca[0]
         flops = float(ca.get("flops", 0.0)) if ca else 0.0
 
-        state, metrics = step(state, batch)
+        # run the AOT-compiled object: the dispatch cache is not populated
+        # by .lower().compile(), so calling `step` would compile again
+        state, metrics = compiled(state, batch)
         _ = float(metrics["total"])  # sync warmup
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            state, metrics = step(state, batch)
+            state, metrics = compiled(state, batch)
         _ = float(metrics["total"])  # single end-of-window sync, like the CLI
         dt = (time.perf_counter() - t0) / args.steps
         row = {
@@ -99,7 +101,9 @@ def main():
         print(row, flush=True)
         del state
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "stage1_train_results.json")
+    # CPU smoke runs must not clobber the recorded TPU numbers
+    name = "stage1_train_results.json" if jax.default_backend() == "tpu" else "stage1_train_results_cpu.json"
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)

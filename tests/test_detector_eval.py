@@ -50,3 +50,41 @@ def test_detections_to_coco_inverts_scale_and_encodes_masks():
     # mask concentrated inside the (scaled-back) box
     assert mask[45:115, 25:95].mean() > 0.9
     assert mask[:35].sum() == 0
+
+
+def test_predict_batch_mixed_sizes_matches_single():
+    """predict_batch on [img_a, img_b] must equal two predict_image calls
+    (per-image scales/canvases are independent inside one jitted batch)."""
+    import jax.numpy as jnp
+    import jax
+
+    from unmore_tpu.detector.cascade_rcnn import CascadeMaskRCNN, DetectorConfig
+    from unmore_tpu.detector.evaluation import DetectorEvaluator
+
+    cfg = DetectorConfig(
+        image_size=64, max_gt=8, gt_mask_res=16,
+        rpn_pre_nms_topk_train=32, rpn_pre_nms_topk_test=16,
+        rpn_post_nms_topk_train=32, rpn_post_nms_topk_test=16,
+        stage_samples=16, detections_per_image=8, dtype=jnp.float32,
+    )
+    model = CascadeMaskRCNN(cfg)
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 64, 64, 3)), method=CascadeMaskRCNN.init_all)
+    )(jax.random.PRNGKey(0))
+    ev = DetectorEvaluator(model, variables, cfg, min_size_test=48)
+
+    rng = np.random.RandomState(3)
+    img_a = rng.rand(40, 60, 3).astype(np.float32)
+    img_b = rng.rand(64, 32, 3).astype(np.float32)
+
+    batched = ev.predict_batch([img_a, img_b], [101, 202])
+    singles = ev.predict_image(img_a, 101) + ev.predict_image(img_b, 202)
+    assert {a["image_id"] for a in batched} <= {101, 202}
+    assert len(batched) == len(singles)
+    for got, want in zip(
+        sorted(batched, key=lambda a: (a["image_id"], -a["score"])),
+        sorted(singles, key=lambda a: (a["image_id"], -a["score"])),
+    ):
+        assert got["image_id"] == want["image_id"]
+        np.testing.assert_allclose(got["bbox"], want["bbox"], atol=1e-3)
+        np.testing.assert_allclose(got["score"], want["score"], atol=1e-5)

@@ -51,33 +51,36 @@ def _bilinear_sample(feat: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array
     return out
 
 
-def roi_align_level(feat: jax.Array, boxes: jax.Array, stride: int, out_size: int,
-                    sampling: int = 2, sampling_x: int | None = None) -> jax.Array:
-    """feat [H, W, C] (one level, one image); boxes [N, 4] xyxy in image
-    coords -> [N, out_size, out_size, C]. ``sampling``/``sampling_x``
-    are the per-bin sample counts along y/x."""
+def _sample_grid(boxes: jax.Array, stride, out_size: int, sy: int, sx: int):
+    """aligned=True sample coordinates over each box, in feature coords.
+
+    boxes [N, 4] xyxy (image coords); stride: scalar or per-box [N]
+    array. Returns (ys_g, xs_g), each [N, Sy*Sx] with the half-pixel
+    offset applied.
+    """
     N = boxes.shape[0]
-    sy = sampling
-    sx = sampling if sampling_x is None else sampling_x
     Sy, Sx = out_size * sy, out_size * sx
-    # aligned=True: continuous feature coords with half-pixel offset
     x1 = boxes[:, 0] / stride - 0.5
     y1 = boxes[:, 1] / stride - 0.5
-    x2 = boxes[:, 2] / stride - 0.5
-    y2 = boxes[:, 3] / stride - 0.5
-    bw = jnp.maximum(x2 - x1, 1e-6)
-    bh = jnp.maximum(y2 - y1, 1e-6)
+    bw = jnp.maximum(boxes[:, 2] / stride - 0.5 - x1, 1e-6)
+    bh = jnp.maximum(boxes[:, 3] / stride - 0.5 - y1, 1e-6)
     grid_y = (jnp.arange(Sy, dtype=jnp.float32) + 0.5) / Sy
     grid_x = (jnp.arange(Sx, dtype=jnp.float32) + 0.5) / Sx
     ys = y1[:, None] + grid_y[None, :] * bh[:, None]  # [N, Sy]
     xs = x1[:, None] + grid_x[None, :] * bw[:, None]  # [N, Sx]
-    # full sample grid [N, Sy, Sx]
     ys_g = jnp.broadcast_to(ys[:, :, None], (N, Sy, Sx)).reshape(N, Sy * Sx)
     xs_g = jnp.broadcast_to(xs[:, None, :], (N, Sy, Sx)).reshape(N, Sy * Sx)
-    vals = _bilinear_sample(feat, ys_g, xs_g)  # [N, Sy*Sx, C]
-    # per-bin mean as a tiny averaging matmul: a 6-D
-    # [N, out, sy, out, sx, C] reshape forces a pathological TPU tiling
-    # (73x pad expansion at sy=sx=2) and keeps huge temporaries live
+    return ys_g, xs_g
+
+
+def _bin_average(vals: jax.Array, out_size: int, sy: int, sx: int) -> jax.Array:
+    """Per-bin mean of [N, Sy*Sx, C] samples -> [N, out, out, C].
+
+    Expressed as a tiny averaging matmul: a 6-D
+    [N, out, sy, out, sx, C] reshape forces a pathological TPU tiling
+    (73x pad expansion at sy=sx=2) and keeps huge temporaries live.
+    """
+    Sy, Sx = out_size * sy, out_size * sx
     avg = np.zeros((out_size * out_size, Sy * Sx), np.float32)
     for oy in range(out_size):
         for ox in range(out_size):
@@ -87,8 +90,20 @@ def roi_align_level(feat: jax.Array, boxes: jax.Array, stride: int, out_size: in
     pooled = jnp.einsum(
         "os,nsc->noc", jnp.asarray(avg), vals, preferred_element_type=jnp.float32
     )
-    C = vals.shape[-1]
+    N, C = vals.shape[0], vals.shape[-1]
     return pooled.reshape(N, out_size, out_size, C)
+
+
+def roi_align_level(feat: jax.Array, boxes: jax.Array, stride: int, out_size: int,
+                    sampling: int = 2, sampling_x: int | None = None) -> jax.Array:
+    """feat [H, W, C] (one level, one image); boxes [N, 4] xyxy in image
+    coords -> [N, out_size, out_size, C]. ``sampling``/``sampling_x``
+    are the per-bin sample counts along y/x."""
+    sy = sampling
+    sx = sampling if sampling_x is None else sampling_x
+    ys_g, xs_g = _sample_grid(boxes, stride, out_size, sy, sx)
+    vals = _bilinear_sample(feat, ys_g, xs_g)  # [N, Sy*Sx, C]
+    return _bin_average(vals, out_size, sy, sx)
 
 
 def roi_align_level_adaptive(feat: jax.Array, boxes: jax.Array, stride: int,
@@ -131,7 +146,6 @@ def _roi_align_flat(feats_tuple, boxes, shapes, out_size: int, sy: int, sx: int)
     shapes: static ((H,W), ...) matching feats_tuple.
     """
     C = feats_tuple[0].shape[-1]
-    N = boxes.shape[0]
     flat = jnp.concatenate([f.reshape(-1, C) for f in feats_tuple], axis=0)
     sizes = np.array([h * w for h, w in shapes], np.int64)
     offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]), jnp.int32)
@@ -143,17 +157,7 @@ def _roi_align_flat(feats_tuple, boxes, shapes, out_size: int, sy: int, sx: int)
     H_b, W_b = Hs[lvl], Ws[lvl]  # [N]
     off_b = offsets[lvl]  # [N]
 
-    Sy, Sx = out_size * sy, out_size * sx
-    x1 = boxes[:, 0] / stride - 0.5
-    y1 = boxes[:, 1] / stride - 0.5
-    bw = jnp.maximum(boxes[:, 2] / stride - 0.5 - x1, 1e-6)
-    bh = jnp.maximum(boxes[:, 3] / stride - 0.5 - y1, 1e-6)
-    grid_y = (jnp.arange(Sy, dtype=jnp.float32) + 0.5) / Sy
-    grid_x = (jnp.arange(Sx, dtype=jnp.float32) + 0.5) / Sx
-    ys = y1[:, None] + grid_y[None, :] * bh[:, None]  # [N, Sy]
-    xs = x1[:, None] + grid_x[None, :] * bw[:, None]  # [N, Sx]
-    ys_g = jnp.broadcast_to(ys[:, :, None], (N, Sy, Sx)).reshape(N, Sy * Sx)
-    xs_g = jnp.broadcast_to(xs[:, None, :], (N, Sy, Sx)).reshape(N, Sy * Sx)
+    ys_g, xs_g = _sample_grid(boxes, stride, out_size, sy, sx)
 
     y0 = jnp.floor(ys_g)
     x0 = jnp.floor(xs_g)
@@ -173,16 +177,7 @@ def _roi_align_flat(feats_tuple, boxes, shapes, out_size: int, sy: int, sx: int)
             # accumulate in the feature dtype (see _bilinear_sample note)
             out = out + rows * ((wy * wx) * inb)[..., None].astype(flat.dtype)
 
-    avg = np.zeros((out_size * out_size, Sy * Sx), np.float32)
-    for oy in range(out_size):
-        for ox in range(out_size):
-            for a in range(sy):
-                for b_ in range(sx):
-                    avg[oy * out_size + ox, (oy * sy + a) * Sx + ox * sx + b_] = 1.0 / (sy * sx)
-    pooled = jnp.einsum(
-        "os,nsc->noc", jnp.asarray(avg), out, preferred_element_type=jnp.float32
-    )
-    return pooled.reshape(N, out_size, out_size, C)
+    return _bin_average(out, out_size, sy, sx)
 
 
 def roi_align_fpn(features: dict, boxes: jax.Array, out_size: int,
