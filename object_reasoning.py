@@ -53,6 +53,9 @@ def parse_args(argv=None):
                    help="model microbatch while enough proposals are live")
     p.add_argument("--crop_chunk_tail", type=int, default=32,
                    help="model microbatch for the live remainder")
+    p.add_argument("--exist_chunk", type=int, default=1024,
+                   help="classifier microbatch (the existence model is "
+                        "~100x cheaper per crop and latency-bound at crop_chunk)")
     p.add_argument("--pallas_decode", choices=["auto", "on", "off"], default="auto",
                    help="fused Pallas center-decode kernel (auto = on TPU)")
     return p.parse_args(argv)
@@ -109,6 +112,7 @@ def main(argv=None):
         max_active=args.max_active,
         crop_chunk=args.crop_chunk,
         crop_chunk_tail=args.crop_chunk_tail,
+        exist_chunk=args.exist_chunk,
         class_score_thres=args.class_score_thres,
         center_score_max_thres=args.center_score_max_thres,
         analyze_cc=args.analyze_cc,

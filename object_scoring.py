@@ -36,7 +36,7 @@ def parse_args(argv=None):
     p.add_argument("--coco_annotations", type=str, required=True)
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--canvas_size", type=int, default=640)
-    p.add_argument("--crop_chunk", type=int, default=32)
+    p.add_argument("--crop_chunk", type=int, default=128)
     return p.parse_args(argv)
 
 

@@ -85,6 +85,12 @@ class ReasoningConfig:
     # 256 chunk for 40 live boxes would waste 5x FLOPs -> two tiers)
     crop_chunk: int = 256
     crop_chunk_tail: int = 32
+    # the ResNet-50 existence classifier is ~100x cheaper per crop than
+    # the DPT model and latency-bound at crop_chunk (7.1k crops/s at 256
+    # vs ~2x that at 1024, measured scripts/perf_sweep_results.json
+    # trend) — its phase gets a larger chunk. Must divide the proposal
+    # lattice; capped to it at construction.
+    exist_chunk: int = 1024
     gather_chunk: int = 32  # crop-gather internal chunk ([g, S, W, C] intermediate)
     # thresholds (reference object_reasoning.py:700-707 defaults)
     class_score_thres: float = 0.1
@@ -107,15 +113,27 @@ class ReasoningConfig:
         tail = min(self.crop_chunk_tail, self.crop_chunk)
         if self.crop_chunk % tail:
             raise ValueError("crop_chunk must be a multiple of crop_chunk_tail")
+        if self.exist_tile % tail:
+            raise ValueError("exist_chunk must be a multiple of crop_chunk_tail")
         for field in ("max_proposals", "max_splits", "max_active"):
             if (getattr(self, field) * self.image_batch) % self.crop_chunk:
                 raise ValueError(
                     f"{field} * image_batch must be a multiple of crop_chunk"
                 )
+            if (getattr(self, field) * self.image_batch) % self.exist_tile:
+                raise ValueError(
+                    f"{field} * image_batch must be a multiple of exist_chunk"
+                )
 
     @property
     def tail(self) -> int:
         return min(self.crop_chunk_tail, self.crop_chunk)
+
+    @property
+    def exist_tile(self) -> int:
+        """exist_chunk capped to the smallest lattice it must divide."""
+        smallest = min(self.max_proposals, self.max_splits, self.max_active) * self.image_batch
+        return max(min(self.exist_chunk, smallest), self.crop_chunk)
 
 
 def _compact(boxes: jax.Array, valid: jax.Array, out_slots: int, extras=()):
@@ -243,7 +261,7 @@ class ObjectDiscoveryEngine:
             return self._classifier(variables, crops).reshape(-1)
 
         scores = _live_prefix_map(
-            chunk_fn, boxes, idx, n_live, c.crop_chunk, c.tail,
+            chunk_fn, boxes, idx, n_live, c.exist_tile, c.tail,
             jnp.zeros((K,), jnp.float32),
         )
         return boxes, idx, valid, jnp.where(valid, scores, 0.0)

@@ -36,7 +36,7 @@ class ScoringConfig:
     crop_size: int = 128
     canvas_size: int = 640
     slot_multiple: int = 128  # proposals padded to a multiple of this
-    crop_chunk: int = 32
+    crop_chunk: int = 128  # both-model microbatch (528 vs 363 crops/s at 32, measured)
     nms_iou: float = 0.5
 
 
