@@ -199,3 +199,20 @@ def test_cc_analysis_adds_component_proposals():
     assert len(boxes) >= 2, f"stats={result['stats']}"
     assert max(iou(x, a) for x in boxes) > 0.4
     assert max(iou(x, b) for x in boxes) > 0.4
+
+
+def test_reasoning_config_exist_chunk_validation():
+    # exist_tile caps to the smallest lattice and must divide every one
+    c = ReasoningConfig()
+    assert c.exist_tile == 1024 and (c.max_proposals % c.exist_tile) == 0
+    small = ReasoningConfig(
+        max_proposals=128, max_splits=128, max_active=64,
+        crop_chunk=32, crop_chunk_tail=16, exist_chunk=1024,
+    )
+    assert small.exist_tile == 64  # capped to max_active * image_batch
+    with pytest.raises(ValueError):
+        # exist_tile caps to max_active (64), which does not divide 96
+        ReasoningConfig(
+            max_proposals=96, max_splits=96, max_active=64,
+            crop_chunk=16, crop_chunk_tail=16, exist_chunk=1024,
+        )
