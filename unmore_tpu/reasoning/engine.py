@@ -115,6 +115,9 @@ class ReasoningConfig:
             raise ValueError("crop_chunk must be a multiple of crop_chunk_tail")
         if self.exist_tile % tail:
             raise ValueError("exist_chunk must be a multiple of crop_chunk_tail")
+        if self.exist_tile > self.crop_chunk and self.exist_tile % self.crop_chunk:
+            # the existence tail tier advances in crop_chunk steps
+            raise ValueError("exist_chunk must be a multiple of crop_chunk")
         for field in ("max_proposals", "max_splits", "max_active"):
             if (getattr(self, field) * self.image_batch) % self.crop_chunk:
                 raise ValueError(
@@ -260,8 +263,12 @@ class ObjectDiscoveryEngine:
             )
             return self._classifier(variables, crops).reshape(-1)
 
+        # tail tier: crop_chunk-sized (not crop_chunk_tail) — the cheap
+        # classifier is launch-latency-bound, so a <=exist_tile remainder
+        # is better served by a few 256-crop calls than by 32-crop ones
+        tail = min(c.crop_chunk, c.exist_tile) if c.exist_tile > c.crop_chunk else c.tail
         scores = _live_prefix_map(
-            chunk_fn, boxes, idx, n_live, c.exist_tile, c.tail,
+            chunk_fn, boxes, idx, n_live, c.exist_tile, tail,
             jnp.zeros((K,), jnp.float32),
         )
         return boxes, idx, valid, jnp.where(valid, scores, 0.0)
