@@ -65,8 +65,10 @@ python post_process.py \
     --dataset COCO --split test
 
 ### 5. Merge COCO pseudo-labels with ImageNet VoteCut labels (script.sh:46-48)
+# post_process writes selected_training_annotations.json NEXT TO its
+# --pred_annotations_path input
 python merge_coco_and_imagenet.py \
-    --coco_annotations_training_format_path selected_training_annotations.json \
+    --coco_annotations_training_format_path results_reasoning/disc/selected_training_annotations.json \
     --imagenet_annotations_training_format_path imagenet_train_votecut_kmax_3_tuam_0.2.json
 
 ### 6. Train the Class-Agnostic Detector (reference script.sh:51-53)
