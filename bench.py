@@ -200,7 +200,32 @@ def main():
         run_recorded()
     dt_rec = (time.perf_counter() - t0) / n_iters / B_rec  # per image
     value = 1.0 / dt_rec
-    extra = {}
+
+    # ---- scoring throughput (VERDICT r3 item 5): the batched scoring
+    # device pass at a representative load — image_batch images sharing
+    # one lattice, ~32 surviving boxes/image (the discovery output
+    # scale), full-canvas paste-back + RLE on the host included
+    from unmore_tpu.reasoning.scoring import ObjectScoringEngine, ScoringConfig
+
+    sc_engine = ObjectScoringEngine(
+        objectness_fn, classifier_fn,
+        ScoringConfig(image_batch=4, crop_chunk=128),
+        variables=variables,
+    )
+    r = np.random.RandomState(3)
+    sc_images = [r.rand(480, 640, 3).astype(np.float32) for _ in range(4)]
+    sc_boxes = []
+    for _ in range(4):
+        xy = r.rand(32, 2) * 400
+        wh = r.rand(32, 2) * 180 + 40
+        sc_boxes.append(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+    sc_ids = list(range(4))
+    sc_engine.score_batch(sc_images, sc_boxes, sc_ids)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        sc_engine.score_batch(sc_images, sc_boxes, sc_ids)
+    scoring_ips = 4 * n_iters / (time.perf_counter() - t0)
+    extra = {"stage2_scoring_images_per_sec": round(scoring_ips, 3)}
     if all(f is not None for f in (f_both, f_sdf, f_cls)):
         pinned_tflop = (
             N_SEED * f_cls + N_CENTER * f_both + N_ROUNDS * N_ACTIVE * f_sdf
@@ -230,10 +255,19 @@ def main():
             extra["sol_images_per_sec_recorded"] = round(peak_tflops / rec_tflop, 4)
 
     # sibling measured results (stage-1 training + CAD detector), recorded by
-    # scripts/stage1_train_bench.py and scripts/cad_scale_bench.py on this chip
+    # scripts/stage1_train_bench.py and scripts/cad_scale_bench.py on this
+    # chip. Each carries the date it was recorded so stale numbers are
+    # distinguishable from this run's live measurements.
+    import datetime
+
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def recorded_on(path):
+        return datetime.datetime.fromtimestamp(os.path.getmtime(path)).strftime("%Y-%m-%d")
+
     try:
-        with open(os.path.join(here, "scripts", "cad_scale_results.json")) as f:
+        p = os.path.join(here, "scripts", "cad_scale_results.json")
+        with open(p) as f:
             cad = json.load(f)
         extra["cad_1024_bf16"] = {
             k: cad[k]
@@ -243,16 +277,19 @@ def main():
             )
             if k in cad
         }
+        extra["cad_1024_bf16"]["recorded_on"] = recorded_on(p)
     except Exception:
         pass
     try:
-        with open(os.path.join(here, "scripts", "stage1_train_results.json")) as f:
+        p = os.path.join(here, "scripts", "stage1_train_results.json")
+        with open(p) as f:
             s1 = json.load(f)
         extra["stage1_train_step"] = {
             f"imgs_per_sec_b{r['batch']}": r["imgs_per_s"]
             for r in s1.get("sweep", [])
             if "imgs_per_s" in r
         }
+        extra["stage1_train_step"]["recorded_on"] = recorded_on(p)
     except Exception:
         pass
     print(
@@ -264,6 +301,10 @@ def main():
                 "vs_baseline": round(value / 500.0, 6),
                 "basis": "recorded convergence schedule from a trained-weights end-to-end run (scripts/recorded_stage2_load.json); pinned_images_per_sec is the round-1-comparable fixed load",
                 "device": jax.devices()[0].device_kind,
+                # the CLI shards image groups over all local devices
+                # (ObjectDiscoveryEngine(devices=...)); this measurement
+                # host exposes this many
+                "devices_used": jax.local_device_count(),
                 "peak_bf16_tflops": peak_tflops,
                 **extra,
             }

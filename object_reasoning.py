@@ -58,6 +58,14 @@ def parse_args(argv=None):
                         "~100x cheaper per crop and latency-bound at crop_chunk)")
     p.add_argument("--pallas_decode", choices=["auto", "on", "off"], default="auto",
                    help="fused Pallas center-decode kernel (auto = on TPU)")
+    p.add_argument("--devices", type=int, default=-1,
+                   help="local devices to shard image groups over "
+                        "(-1 = all local devices; each device discovers "
+                        "image_batch images per call)")
+    p.add_argument("--reference_rounds", action="store_true",
+                   help="faithful reference boundary semantics: re-predict "
+                        "converged boxes every round (object_reasoning.py:393) "
+                        "instead of the sticky-convergence default")
     return p.parse_args(argv)
 
 
@@ -122,15 +130,25 @@ def main(argv=None):
         n_round=args.n_round,
         proposal_area_thres=args.proposal_area_thres,
         use_pallas_decode={"auto": None, "on": True, "off": False}[args.pallas_decode],
+        sticky_convergence=not args.reference_rounds,
     )
-    engine = ObjectDiscoveryEngine(objectness_fn, classifier_fn, cfg, variables=variables)
+    # shard image groups over every local device (shard_map inside the
+    # engine); the reference splits work manually across GPUs via
+    # --start_idx/--end_idx jobs (datasets.py:432-435)
+    local = jax.local_devices()
+    devices = local if args.devices < 0 else local[: max(args.devices, 1)]
+    engine = ObjectDiscoveryEngine(
+        objectness_fn, classifier_fn, cfg, variables=variables,
+        devices=devices if len(devices) > 1 else None,
+    )
+    print(f"devices_used {engine.n_devices} (images per dispatch: {engine.image_slots})")
 
     dataset = COCOImages(args.coco_image_dir, args.coco_annotations, args.start_idx, args.end_idx)
     my_indices = dist.host_shard_indices(len(dataset))
     results = {}
     timer = StageTimer()
     t0 = time.time()
-    B = args.image_batch
+    B = engine.image_slots
     for base in range(0, len(my_indices), B):
         group = [dataset.get(int(i)) for i in my_indices[base : base + B]]
         with timer.stage("load"):

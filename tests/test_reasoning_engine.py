@@ -216,3 +216,70 @@ def test_reasoning_config_exist_chunk_validation():
             max_proposals=96, max_splits=96, max_active=64,
             crop_chunk=16, crop_chunk_tail=16, exist_chunk=1024,
         )
+
+
+def test_multi_device_discovery_matches_single_device():
+    # VERDICT r2 #1 acceptance: the sharded production path (shard_map
+    # over the local mesh, one image group per device) must produce
+    # results identical to single-device discovery
+    gt_a = (60, 70, 140, 150)
+    gt_b = (20, 30, 90, 110)
+    worlds = [
+        make_world(200, [gt_a]),
+        make_world(200, [gt_b]),
+        make_world(200, [gt_a, gt_b]),
+        make_world(200, []),
+    ]
+
+    single = _engine(image_batch=1)
+    ref = [single.discover(w) for w in worlds]
+
+    sharded = ObjectDiscoveryEngine(
+        fake_objectness,
+        fake_classifier,
+        ReasoningConfig(
+            canvas_size=200, max_proposals=256, max_splits=256, max_active=256,
+            crop_chunk=16, n_round=30, analyze_cc=False, image_batch=1,
+        ),
+        devices=jax.devices()[:4],
+    )
+    assert sharded.n_devices == 4 and sharded.image_slots == 4
+    out = sharded.discover_batch(worlds)
+    assert len(out) == 4
+    for res, r in zip(out, ref):
+        np.testing.assert_array_equal(res["boxes"], r["boxes"])
+        np.testing.assert_array_equal(res["converged_boxes"], r["converged_boxes"])
+        assert res["stats"]["n_final"] == r["stats"]["n_final"]
+        assert res["stats"]["n_exist"] == r["stats"]["n_exist"]
+        assert res["stats"]["n_split"] == r["stats"]["n_split"]
+
+
+def test_reference_rounds_mode_matches_sticky_fixed_point():
+    # VERDICT r2 #3: the sticky-convergence deviation vs the reference's
+    # re-predict-every-round semantics (labels reset each round,
+    # reference object_reasoning.py:393). For a deterministic model both
+    # reach the same fixed point; reference mode just spends more crops.
+    gt = (60, 70, 140, 150)
+    world = make_world(200, [gt, (20, 30, 50, 110)])
+    sticky = _engine()
+    refmode = _engine(sticky_convergence=False)
+    rs = sticky.discover(world)
+    rr = refmode.discover(world)
+    assert rr["stats"]["n_final"] >= 1
+    # reference mode runs all rounds; sticky exits when drained
+    assert rr["stats"]["boundary_rounds"] == 30
+    assert rs["stats"]["boundary_rounds"] <= 30
+    # the fixed point is the same: identical converged-box sets (the
+    # post-NMS selection may differ — scores are tied at 1.0 and the two
+    # modes compact in different orders, so NMS picks different
+    # representatives among equals)
+    conv_s = np.unique(np.round(np.asarray(rs["converged_boxes"]), 3), axis=0)
+    conv_r = np.unique(np.round(np.asarray(rr["converged_boxes"]), 3), axis=0)
+    np.testing.assert_array_equal(conv_s, conv_r)
+    best_r = max(iou(b, gt) for b in rr["converged_boxes"])
+    assert best_r > 0.6
+    # reference mode re-predicts converged boxes: its per-round active
+    # trace dominates the sticky trace
+    tr_s = rs["stats"]["boundary_active_trace"]
+    tr_r = rr["stats"]["boundary_active_trace"]
+    assert sum(tr_r) >= sum(tr_s)

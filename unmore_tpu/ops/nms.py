@@ -62,6 +62,14 @@ def nms_mask(
     sequential steps for the per-rank loop (44 ms -> ~1 ms at N=4000 on
     v5e for the RPN NMS this replaces; 5 such loops sat in every CAD
     train step).
+
+    Worst case: an adversarial alternating suppression chain (box i
+    suppressed exactly by box i-1 being kept) forces O(N) rounds of
+    O(N^2) work — worse than the old per-rank loop's O(N^2) total. Such
+    chains require N boxes each overlapping only its rank-neighbour just
+    above threshold; real proposal/RPN distributions decide in a handful
+    of rounds (measured above). Termination is always bounded by N
+    rounds since >= 1 box is decided per round.
     """
     n = boxes.shape[0]
     order = jnp.argsort(jnp.where(valid, -scores, jnp.inf), stable=True)

@@ -104,6 +104,13 @@ class ReasoningConfig:
     n_round: int = 50
     proposal_area_thres: float = 50.0
     nms_iou: float = 0.5
+    # sticky convergence (see module docstring): True = converged boxes
+    # freeze and stop costing model FLOPs (the measured 9.9x crop
+    # saving); False = faithful reference semantics — every surviving
+    # box is re-predicted all n_round rounds (labels reset each round,
+    # reference object_reasoning.py:393). Both reach the same fixed
+    # point for a deterministic model; scripts/sticky_ab.py A/Bs the AP.
+    sticky_convergence: bool = True
     # fused Pallas decode kernel for the center phase (bit-exact vs the
     # XLA path — ops/pallas/decode.py). None = auto: on when the default
     # backend is TPU, off elsewhere (CPU tests run the XLA path).
@@ -113,11 +120,30 @@ class ReasoningConfig:
         tail = min(self.crop_chunk_tail, self.crop_chunk)
         if self.crop_chunk % tail:
             raise ValueError("crop_chunk must be a multiple of crop_chunk_tail")
+        if self.exist_chunk < self.crop_chunk:
+            import warnings
+
+            warnings.warn(
+                f"exist_chunk={self.exist_chunk} < crop_chunk={self.crop_chunk}: "
+                f"the effective existence microbatch (exist_tile) is floored "
+                f"to crop_chunk, so {self.exist_tile}-crop classifier calls "
+                f"will run",
+                stacklevel=2,
+            )
+        # the errors below name exist_tile — the *effective* existence
+        # microbatch (exist_chunk capped to the smallest lattice, floored
+        # to crop_chunk) — since that is the value being validated
         if self.exist_tile % tail:
-            raise ValueError("exist_chunk must be a multiple of crop_chunk_tail")
+            raise ValueError(
+                f"effective exist_tile {self.exist_tile} (from exist_chunk="
+                f"{self.exist_chunk}) must be a multiple of crop_chunk_tail"
+            )
         if self.exist_tile > self.crop_chunk and self.exist_tile % self.crop_chunk:
             # the existence tail tier advances in crop_chunk steps
-            raise ValueError("exist_chunk must be a multiple of crop_chunk")
+            raise ValueError(
+                f"effective exist_tile {self.exist_tile} (from exist_chunk="
+                f"{self.exist_chunk}) must be a multiple of crop_chunk"
+            )
         for field in ("max_proposals", "max_splits", "max_active"):
             if (getattr(self, field) * self.image_batch) % self.crop_chunk:
                 raise ValueError(
@@ -125,7 +151,9 @@ class ReasoningConfig:
                 )
             if (getattr(self, field) * self.image_batch) % self.exist_tile:
                 raise ValueError(
-                    f"{field} * image_batch must be a multiple of exist_chunk"
+                    f"{field} * image_batch must be a multiple of the "
+                    f"effective exist_tile {self.exist_tile} (from "
+                    f"exist_chunk={self.exist_chunk})"
                 )
 
     @property
@@ -208,11 +236,21 @@ class ObjectDiscoveryEngine:
         constants and blows compile time up by an order of magnitude.
     """
 
-    def __init__(self, objectness_fn, classifier_fn, config: ReasoningConfig = ReasoningConfig(), variables=None):
+    def __init__(self, objectness_fn, classifier_fn, config: ReasoningConfig = ReasoningConfig(),
+                 variables=None, devices=None):
+        """devices: optional list of local JAX devices for data-parallel
+        discovery — image groups are sharded one-per-device via
+        ``shard_map`` over a ``Mesh(('data',))`` (the TPU-native
+        replacement for the reference's one-GPU-per-index-shard job
+        splitting, ``datasets.py:432-435``). None = single default
+        device. Each device runs the identical ``discover_core``
+        program on its own ``image_batch``-image group, so results are
+        independent of the device count."""
         self.cfg = config
         self._objectness = objectness_fn
         self._classifier = classifier_fn
         self.variables = {} if variables is None else variables
+        self.devices = list(devices) if devices else None
         c = config
         if c.use_pallas_decode is None:
             self._pallas_decode = jax.default_backend() == "tpu"
@@ -220,17 +258,30 @@ class ObjectDiscoveryEngine:
             self._pallas_decode = c.use_pallas_decode
 
         B = c.image_batch
+        self._core_j = jax.jit(self.discover_core)
+        self._core_sharded = None
+        if self.devices is not None and len(self.devices) > 1:
+            from jax.sharding import Mesh, PartitionSpec as P
+
+            mesh = Mesh(np.asarray(self.devices), ("data",))
+            self._core_sharded = jax.jit(
+                jax.shard_map(
+                    self.discover_core,
+                    mesh=mesh,
+                    # variables replicated; canvases/lattices sharded on
+                    # the leading (group) axis
+                    in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data")),
+                    out_specs=P("data"),
+                    # per-device while_loop trip counts legitimately
+                    # diverge across devices; skip the varying-manual-axes check
+                    check_vma=False,
+                )
+            )
         self._existence_j = jax.jit(self._existence_phase)
         self._center_j = jax.jit(functools.partial(self._center_phase, analyze_cc=c.analyze_cc))
         self._center_nocc_j = jax.jit(functools.partial(self._center_phase, analyze_cc=False))
         self._boundary_j = jax.jit(self._boundary_phase)
         self._nms_j = jax.jit(functools.partial(self._batched_nms))
-        self._compact_active_j = jax.jit(
-            functools.partial(self._compact_with_idx, out_slots=c.max_active * B)
-        )
-        self._compact_splits_j = jax.jit(
-            functools.partial(self._compact_with_idx, out_slots=c.max_splits * B)
-        )
 
     @staticmethod
     def _compact_with_idx(boxes, valid, idx, out_slots):
@@ -423,10 +474,18 @@ class ObjectDiscoveryEngine:
 
         def cond(state):
             _, _, labels, rnd, _ = state
-            return (rnd < c.n_round) & jnp.any(labels == 0)
+            if c.sticky_convergence:
+                return (rnd < c.n_round) & jnp.any(labels == 0)
+            # reference mode: converged boxes are re-activated every
+            # round, so run all n_round rounds unless everything dropped
+            return (rnd < c.n_round) & jnp.any(labels >= 0)
 
         def body(state):
             boxes, idx, labels, rnd, trace = state
+            if not c.sticky_convergence:
+                # reference :393 resets every surviving label to 0 at the
+                # top of each round — converged boxes are re-predicted
+                labels = jnp.where(labels == 1.0, 0.0, labels)
             x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
             # area filter applies to every surviving proposal each round
             # (reference filter_small_proposal :293-299)
@@ -498,6 +557,109 @@ class ObjectDiscoveryEngine:
         return boxes, idx, labels, rounds, trace
 
     # ----------------------------------------------------------- full image
+    @property
+    def n_devices(self) -> int:
+        return len(self.devices) if self.devices else 1
+
+    @property
+    def image_slots(self) -> int:
+        """Images accepted per :meth:`discover_batch` call
+        (``image_batch`` per device)."""
+        return self.cfg.image_batch * self.n_devices
+
+    def discover_core(self, variables, canvases, hw, boxes, idx, valid):
+        """The full discovery program for one image group, as a single
+        pure-JAX function: existence -> center (+split/CC) -> recheck ->
+        boundary evolution -> NMS, with every stat computed in-graph.
+
+        One jitted program means ONE host<->device round trip per group
+        (the round-2 engine synced between phases — ~6 pulls through the
+        relay) and lets the identical program shard over local devices
+        via ``shard_map`` (one image group per device).
+
+        Every returned array carries a leading "shard" axis so
+        ``shard_map`` out_specs can concatenate across devices: lattice
+        outputs are [K_act, ...], per-image stats [image_batch], scalar
+        stats [1], the round trace [1, n_round].
+        """
+        c = self.cfg
+        B = c.image_batch
+
+        # step 1: existence checking (reference :491-523 + :628-631)
+        boxes, idx, valid, scores = self._existence_phase(variables, canvases, boxes, idx, valid)
+        valid = valid & (scores >= c.class_score_thres)
+        n_exist = jax.ops.segment_sum(valid.astype(jnp.int32), idx, num_segments=B)
+        n_center_in = jnp.sum(valid.astype(jnp.int32))
+
+        # step 2: center reasoning (+ optional CC analysis)
+        center_out = self._center_phase(variables, canvases, hw, boxes, idx, valid, analyze_cc=c.analyze_cc)
+        boxes, idx, passed = center_out["boxes"], center_out["idx"], center_out["passed"]
+        split_boxes = center_out["split_boxes"]
+        split_valid = center_out["split_valid"]
+        split_idx = center_out["split_idx"]
+        cc_overflow = jnp.int32(0)
+        if c.analyze_cc:
+            split_boxes = jnp.concatenate([split_boxes, center_out["cc_boxes"]], axis=0)
+            split_valid = jnp.concatenate([split_valid, center_out["cc_valid"]], axis=0)
+            split_idx = jnp.concatenate([split_idx, center_out["cc_idx"]], axis=0)
+            cc_overflow = center_out["cc_overflow"]
+        split_boxes, split_valid, split_idx, n_split, split_overflow = self._compact_with_idx(
+            split_boxes, split_valid, split_idx, out_slots=c.max_splits * B
+        )
+
+        # re-check split proposals: existence then singularity (reference
+        # :639-646). Always traced; with zero live splits the live-prefix
+        # while_loops run zero model chunks, so an empty recheck is free.
+        split_boxes, split_idx, split_valid, s_scores = self._existence_phase(
+            variables, canvases, split_boxes, split_idx, split_valid
+        )
+        split_valid = split_valid & (s_scores >= c.class_score_thres)
+        n_recheck = jnp.sum(split_valid.astype(jnp.int32))
+        recheck = self._center_phase(
+            variables, canvases, hw, split_boxes, split_idx, split_valid, analyze_cc=False
+        )
+        split_boxes, split_idx, split_passed = recheck["boxes"], recheck["idx"], recheck["passed"]
+
+        all_boxes = jnp.concatenate([boxes, split_boxes], axis=0)
+        all_idx = jnp.concatenate([idx, split_idx], axis=0)
+        all_valid = jnp.concatenate([passed, split_passed], axis=0)
+        act_boxes, act_valid, act_idx, n_act, act_overflow = self._compact_with_idx(
+            all_boxes, all_valid, all_idx, out_slots=c.max_active * B
+        )
+
+        # step 3: boundary reasoning (exits immediately when nothing active)
+        final_boxes, final_idx, labels, rounds, active_trace = self._boundary_phase(
+            variables, canvases, hw, act_boxes, act_idx, act_valid
+        )
+        keep = labels == 1
+
+        # NMS (scores are all 1 -> deterministic index-order tie-break)
+        nms_keep = self._batched_nms(
+            final_boxes, jnp.ones(final_boxes.shape[0]), keep, final_idx
+        )
+        n_converged = jax.ops.segment_sum(keep.astype(jnp.int32), final_idx, num_segments=B)
+        n_final = jax.ops.segment_sum(nms_keep.astype(jnp.int32), final_idx, num_segments=B)
+
+        one = lambda x: jnp.asarray(x).reshape(1)
+        return {
+            "final_boxes": final_boxes,
+            "final_idx": final_idx,
+            "keep": keep,
+            "nms_keep": nms_keep,
+            "n_exist": n_exist,
+            "n_converged": n_converged,
+            "n_final": n_final,
+            "trace": active_trace[None],
+            "n_center_in": one(n_center_in),
+            "n_split": one(n_split),
+            "split_overflow": one(split_overflow),
+            "cc_overflow": one(cc_overflow),
+            "n_recheck_center_in": one(n_recheck),
+            "n_boundary_in": one(n_act),
+            "active_overflow": one(act_overflow),
+            "boundary_rounds": one(rounds),
+        }
+
     def discover(self, image: np.ndarray) -> dict:
         """Run full discovery on one image [H, W, 3] float32 in [0, 1].
 
@@ -506,138 +668,84 @@ class ObjectDiscoveryEngine:
         return self.discover_batch([image])[0]
 
     def discover_batch(self, images: list) -> list:
-        """Run discovery on up to ``cfg.image_batch`` images at once.
+        """Run discovery on up to ``image_slots`` images at once.
 
-        images: list of [H_i, W_i, 3] float32 arrays in [0, 1] (length
-        <= cfg.image_batch; the lattice is padded for missing slots).
-        Returns one result dict per input image.
+        images: list of [H_i, W_i, 3] float32 arrays in [0, 1]. With
+        multiple devices, consecutive ``image_batch``-image groups go to
+        consecutive devices (missing slots are padded and cost ~nothing).
+        Returns one result dict per input image, independent of the
+        device count.
         """
         c = self.cfg
         B = c.image_batch
-        if len(images) > B:
-            raise ValueError(f"{len(images)} images exceed image_batch {B}")
+        D = self.n_devices
+        if len(images) > B * D:
+            raise ValueError(f"{len(images)} images exceed image_slots {B * D}")
         n_img = len(images)
 
-        canvases = np.zeros((B, c.canvas_size, c.canvas_size, 3), np.float32)
-        hw = np.ones((B, 2), np.float32)
-        K = c.max_proposals * B
-        boxes_np = np.zeros((K, 4), np.float32)
-        idx_np = np.zeros((K,), np.int32)
-        valid_np = np.zeros((K,), bool)
+        canvases = np.zeros((B * D, c.canvas_size, c.canvas_size, 3), np.float32)
+        hw = np.ones((B * D, 2), np.float32)
+        K = c.max_proposals * B  # per-device lattice
+        boxes_np = np.zeros((K * D, 4), np.float32)
+        idx_np = np.zeros((K * D,), np.int32)
+        valid_np = np.zeros((K * D,), bool)
         seed_counts = []
-        cursor = 0
-        for i, image in enumerate(images):
+        for g, image in enumerate(images):
+            d, b = divmod(g, B)  # device, local slot
             h, w = image.shape[:2]
             if h > c.canvas_size or w > c.canvas_size:
                 raise ValueError(f"image {h}x{w} exceeds canvas {c.canvas_size}")
-            canvases[i, :h, :w] = image
-            hw[i] = (h, w)
+            canvases[g, :h, :w] = image
+            hw[g] = (h, w)
             seeds = seed_proposals(h, w).astype(np.float32)
             seed_counts.append(len(seeds))
-            if cursor + len(seeds) > K:
-                raise ValueError(f"seed total exceeds lattice {K}")
+            cursor = d * K + sum(seed_counts[d * B : g])
+            if cursor + len(seeds) > (d + 1) * K:
+                raise ValueError(f"seed total exceeds per-device lattice {K}")
             boxes_np[cursor : cursor + len(seeds)] = seeds
-            idx_np[cursor : cursor + len(seeds)] = i
+            idx_np[cursor : cursor + len(seeds)] = b
             valid_np[cursor : cursor + len(seeds)] = True
-            cursor += len(seeds)
 
-        canvases = jnp.asarray(canvases)
-        hw_j = jnp.asarray(hw)
-        boxes = jnp.asarray(boxes_np)
-        idx = jnp.asarray(idx_np)
-        valid = jnp.asarray(valid_np)
-
-        def per_image_counts(valid_arr, idx_arr):
-            v = np.asarray(valid_arr)
-            ii = np.asarray(idx_arr)
-            return [int(np.sum(v & (ii == i))) for i in range(n_img)]
-
-        g_stats: dict = {}
-        stats_per_img = [{"n_seed": seed_counts[i]} for i in range(n_img)]
-
-        # step 1: existence checking
-        boxes, idx, valid, scores = self._existence_j(self.variables, canvases, boxes, idx, valid)
-        valid = valid & (scores >= c.class_score_thres)
-        n_exist = per_image_counts(valid, idx)
-        for i in range(n_img):
-            stats_per_img[i]["n_exist"] = n_exist[i]
-
-        empty = lambda s: {"boxes": np.zeros((0, 4), np.float32), "stats": s}
-        if sum(n_exist) == 0:
-            return [empty(stats_per_img[i]) for i in range(n_img)]
-
-        # step 2: center reasoning
-        g_stats["n_center_in"] = int(np.sum(np.asarray(valid)))
-        center_out = self._center_j(self.variables, canvases, hw_j, boxes, idx, valid)
-        boxes, idx, passed = center_out["boxes"], center_out["idx"], center_out["passed"]
-        split_boxes = center_out["split_boxes"]
-        split_valid = center_out["split_valid"]
-        split_idx = center_out["split_idx"]
-        if c.analyze_cc:
-            split_boxes = jnp.concatenate([split_boxes, center_out["cc_boxes"]], axis=0)
-            split_valid = jnp.concatenate([split_valid, center_out["cc_valid"]], axis=0)
-            split_idx = jnp.concatenate([split_idx, center_out["cc_idx"]], axis=0)
-            g_stats["cc_overflow"] = int(center_out["cc_overflow"])
-        split_boxes, split_valid, split_idx, n_split, split_overflow = self._compact_splits_j(
-            split_boxes, split_valid, split_idx
-        )
-        g_stats["n_split"] = int(n_split)
-        g_stats["split_overflow"] = int(split_overflow)
-
-        # re-check split proposals: existence then singularity (reference :639-646)
-        if g_stats["n_split"] > 0:
-            split_boxes, split_idx, split_valid, s_scores = self._existence_j(
-                self.variables, canvases, split_boxes, split_idx, split_valid
+        core = self._core_sharded if self._core_sharded is not None else self._core_j
+        out = jax.device_get(
+            core(
+                self.variables,
+                jnp.asarray(canvases),
+                jnp.asarray(hw),
+                jnp.asarray(boxes_np),
+                jnp.asarray(idx_np),
+                jnp.asarray(valid_np),
             )
-            split_valid = split_valid & (s_scores >= c.class_score_thres)
-            g_stats["n_recheck_center_in"] = int(np.sum(np.asarray(split_valid)))
-            recheck = self._center_nocc_j(self.variables, canvases, hw_j, split_boxes, split_idx, split_valid)
-            split_boxes, split_idx = recheck["boxes"], recheck["idx"]
-            split_passed = recheck["passed"]
-        else:
-            split_passed = jnp.zeros_like(split_valid)
-
-        all_boxes = jnp.concatenate([boxes, split_boxes], axis=0)
-        all_idx = jnp.concatenate([idx, split_idx], axis=0)
-        all_valid = jnp.concatenate([passed, split_passed], axis=0)
-        act_boxes, act_valid, act_idx, n_act, act_overflow = self._compact_active_j(
-            all_boxes, all_valid, all_idx
         )
-        g_stats["n_boundary_in"] = int(n_act)
-        g_stats["active_overflow"] = int(act_overflow)
-        if g_stats["n_boundary_in"] == 0:
-            for i in range(n_img):
-                stats_per_img[i].update(g_stats)
-            return [empty(stats_per_img[i]) for i in range(n_img)]
 
-        # step 3: boundary reasoning
-        final_boxes, final_idx, labels, rounds, active_trace = self._boundary_j(
-            self.variables, canvases, hw_j, act_boxes, act_idx, act_valid
-        )
-        g_stats["boundary_rounds"] = int(rounds)
-        g_stats["boundary_active_trace"] = np.asarray(active_trace)[: int(rounds)].tolist()
-        keep = labels == 1
-
-        # NMS (scores are all 1 -> deterministic index-order tie-break)
-        nms_keep = self._nms_j(final_boxes, jnp.ones(final_boxes.shape[0]), keep, final_idx)
-
-        final_boxes_np = np.asarray(final_boxes)
-        final_idx_np = np.asarray(final_idx)
-        keep_np = np.asarray(keep)
-        nms_keep_np = np.asarray(nms_keep)
-
+        K_act = out["final_boxes"].shape[0] // D
         results = []
-        for i in range(n_img):
-            mine = final_idx_np == i
-            s = dict(stats_per_img[i])
-            s.update(g_stats)
-            s["n_converged"] = int(np.sum(keep_np & mine))
-            out_boxes = final_boxes_np[nms_keep_np & mine]
-            s["n_final"] = len(out_boxes)
+        for g in range(n_img):
+            d, b = divmod(g, B)
+            sl = slice(d * K_act, (d + 1) * K_act)
+            mine = out["final_idx"][sl] == b
+            rounds = int(out["boundary_rounds"][d])
+            s = {
+                "n_seed": seed_counts[g],
+                "n_exist": int(out["n_exist"][g]),
+                "n_center_in": int(out["n_center_in"][d]),
+                "n_split": int(out["n_split"][d]),
+                "split_overflow": int(out["split_overflow"][d]),
+                "n_recheck_center_in": int(out["n_recheck_center_in"][d]),
+                "n_boundary_in": int(out["n_boundary_in"][d]),
+                "active_overflow": int(out["active_overflow"][d]),
+                "boundary_rounds": rounds,
+                "boundary_active_trace": out["trace"][d][:rounds].tolist(),
+                "n_converged": int(out["n_converged"][g]),
+                "n_final": int(out["n_final"][g]),
+            }
+            if c.analyze_cc:
+                s["cc_overflow"] = int(out["cc_overflow"][d])
+            fb = out["final_boxes"][sl]
             results.append(
                 {
-                    "boxes": out_boxes,
-                    "converged_boxes": final_boxes_np[keep_np & mine],
+                    "boxes": fb[out["nms_keep"][sl] & mine],
+                    "converged_boxes": fb[out["keep"][sl] & mine],
                     "stats": s,
                 }
             )
