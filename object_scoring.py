@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--canvas_size", type=int, default=640)
     p.add_argument("--crop_chunk", type=int, default=128)
+    p.add_argument("--image_batch", type=int, default=4,
+                   help="images scored per shared proposal lattice (per device)")
+    p.add_argument("--devices", type=int, default=-1,
+                   help="local devices to shard image groups over (-1 = all)")
     return p.parse_args(argv)
 
 
@@ -56,11 +60,19 @@ def main(argv=None):
         make_apply_fns,
     )
     from unmore_tpu.data.coco import COCOImages
+    from unmore_tpu.parallel import distributed as dist
     from unmore_tpu.reasoning.scoring import ObjectScoringEngine, ScoringConfig
 
+    # multi-host: deterministic per-host image sharding + gather to
+    # process 0 (the discovery CLI's treatment), replacing the
+    # reference's manual --start_idx/--end_idx jobs (object_scoring.py:
+    # 275-311)
+    dist.initialize()
+
     result_folder = "/".join(args.raw_annotations_path.split("/")[0:-1])
-    with open(os.path.join(result_folder, "configs_object_scoring.json"), "w") as f:
-        json.dump(vars(args), f, indent=2)
+    if dist.is_main():
+        with open(os.path.join(result_folder, "configs_object_scoring.json"), "w") as f:
+            json.dump(vars(args), f, indent=2)
     print("result_folder", result_folder)
 
     with open(args.raw_annotations_path) as f:
@@ -73,32 +85,48 @@ def main(argv=None):
     cls_vars = load_classifier_variables(args.binary_classifier_resume)
     objectness_fn, classifier_fn, variables = make_apply_fns(objectness, obj_params, classifier, cls_vars)
 
+    local = jax.local_devices()
+    devices = local if args.devices < 0 else local[: max(args.devices, 1)]
     engine = ObjectScoringEngine(
         objectness_fn,
         classifier_fn,
-        ScoringConfig(crop_size=args.image_size, canvas_size=args.canvas_size, crop_chunk=args.crop_chunk),
+        ScoringConfig(
+            crop_size=args.image_size, canvas_size=args.canvas_size,
+            crop_chunk=args.crop_chunk, image_batch=args.image_batch,
+        ),
         variables=variables,
+        devices=devices if len(devices) > 1 else None,
     )
+    print(f"devices_used {engine.n_devices} (images per dispatch: {engine.image_slots})")
 
     dataset = COCOImages(args.coco_image_dir, args.coco_annotations, args.start_idx, args.end_idx)
+    # only images present in the discovery JSON are scored
+    todo = [i for i in range(len(dataset)) if str(dataset.image_id(i)) in raw_annotations]
+    my_indices = dist.host_shard_indices(len(todo))
     out_annotations = []
     t0 = time.time()
-    for idx in range(len(dataset)):
-        image, image_id = dataset.get(idx)
-        if str(image_id) not in raw_annotations:
-            continue
-        boxes = np.asarray(raw_annotations[str(image_id)], np.float32).reshape(-1, 4)
-        anns = engine.score_image(image, boxes, int(image_id))
-        out_annotations.extend(anns)
-        done = idx + 1
-        print(f"[{done}/{len(dataset)}] image {image_id}: {len(anns)} anns "
+    B = engine.image_slots
+    for base in range(0, len(my_indices), B):
+        group = [dataset.get(todo[int(i)]) for i in my_indices[base : base + B]]
+        images = [g[0] for g in group]
+        ids = [int(g[1]) for g in group]
+        boxes_list = [
+            np.asarray(raw_annotations[str(i)], np.float32).reshape(-1, 4) for i in ids
+        ]
+        for anns in engine.score_batch(images, boxes_list, ids):
+            out_annotations.extend(anns)
+        done = min(base + B, len(my_indices))
+        print(f"[{done}/{len(my_indices)}] images {ids}: "
               f"({done / (time.time() - t0):.3f} img/s)", flush=True)
 
-    print("# of final annotations", len(out_annotations))
-    out_path = os.path.join(result_folder, "object_discovery_with_scores.json")
-    with open(out_path, "w") as f:
-        json.dump(out_annotations, f, indent=2, cls=NpEncoder)
-    print("wrote", out_path)
+    # gather per-host shards; process 0 writes the single contract JSON
+    merged = [a for part in dist.all_gather_objects(out_annotations) for a in part]
+    if dist.is_main():
+        print("# of final annotations", len(merged))
+        out_path = os.path.join(result_folder, "object_discovery_with_scores.json")
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=2, cls=NpEncoder)
+        print("wrote", out_path)
 
 
 if __name__ == "__main__":

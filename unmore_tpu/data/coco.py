@@ -40,6 +40,10 @@ class COCOImages:
         arr = np.asarray(img, np.float32) / 255.0
         return arr, self.fname_to_id[fname]
 
+    def image_id(self, idx: int) -> int:
+        """image_id for index ``idx`` without decoding the image."""
+        return self.fname_to_id[self.filenames[idx]]
+
     def get_by_id(self, image_id: int):
         fname = self.id_to_fname[image_id]
         img = Image.open(os.path.join(self.image_dir, fname)).convert("RGB")

@@ -6,6 +6,12 @@ score reductions) runs as one fixed-shape jitted program; the per-image
 full-resolution work (mask paste-back, RLE encoding, tight boxes) runs
 on the host where variable image sizes are natural.
 
+Unlike the reference (one image per pass, ``object_scoring.py:172-272``),
+the device pass batches **multiple images on a shared proposal lattice**
+(an image-index column routes each crop to its canvas), and with
+``devices=[...]`` the identical program shards one image group per local
+device via ``shard_map`` — the same layout as the discovery engine.
+
 Per proposal:
   center score   = max ||center field||            (reference :188-190)
   boundary score = max SDF                          (:192-193)
@@ -35,7 +41,8 @@ from unmore_tpu import native as rle_codec  # C++ RLE fast path (numpy fallback 
 class ScoringConfig:
     crop_size: int = 128
     canvas_size: int = 640
-    slot_multiple: int = 128  # proposals padded to a multiple of this
+    image_batch: int = 4  # images per shared lattice (per device)
+    slot_multiple: int = 128  # lattice sizes round up to this (bounded compile count)
     crop_chunk: int = 128  # both-model microbatch (528 vs 363 crops/s at 32, measured)
     nms_iou: float = 0.5
 
@@ -44,17 +51,30 @@ class ObjectScoringEngine:
     """Model fns take (variables, crops, ...) — variables are threaded
     through jit as arguments, never closed over (see engine.py)."""
 
-    def __init__(self, objectness_fn, classifier_fn, config: ScoringConfig = ScoringConfig(), variables=None):
+    def __init__(self, objectness_fn, classifier_fn, config: ScoringConfig = ScoringConfig(),
+                 variables=None, devices=None):
         self.cfg = config
         self._objectness = objectness_fn
         self._classifier = classifier_fn
         self.variables = {} if variables is None else variables
+        self.devices = list(devices) if devices else None
         self._device_fn = jax.jit(self._device_scores)
+        self._sharded_fns: dict = {}
         self._nms_j = jax.jit(functools.partial(nms_mask, iou_threshold=config.nms_iou))
 
-    def _device_scores(self, variables, canvas, boxes, valid):
+    @property
+    def n_devices(self) -> int:
+        return len(self.devices) if self.devices else 1
+
+    @property
+    def image_slots(self) -> int:
+        """Images accepted per :meth:`score_batch` call."""
+        return self.cfg.image_batch * self.n_devices
+
+    def _device_scores(self, variables, canvases, boxes, idx, valid):
+        """canvases [B,S,S,3]; boxes [K,4] + idx [K] on a shared lattice."""
         c = self.cfg
-        crops = crop_and_resize(canvas, boxes, out_size=c.crop_size, chunk=64)
+        crops = crop_and_resize(canvases, boxes, out_size=c.crop_size, chunk=64, image_idx=idx)
 
         def chunked(fn, x):
             n = x.shape[0]
@@ -78,67 +98,147 @@ class ObjectScoringEngine:
             "boundary_mask": (jax.nn.sigmoid(sdf) > 0.5).astype(jnp.uint8),
         }
 
+    def _sharded(self, n_canvas, n_slots):
+        """shard_map'd device pass for (per-device canvas count, lattice
+        size); cached per shape bucket."""
+        key = (n_canvas, n_slots)
+        if key not in self._sharded_fns:
+            from jax.sharding import Mesh, PartitionSpec as P
+
+            mesh = Mesh(np.asarray(self.devices), ("data",))
+            self._sharded_fns[key] = jax.jit(
+                jax.shard_map(
+                    self._device_scores,
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+            )
+        return self._sharded_fns[key]
+
     def score_image(self, image: np.ndarray, boxes: np.ndarray, image_id) -> list[dict]:
         """image [H, W, 3] in [0,1]; boxes [N, 4] xyxy. Returns COCO anns."""
+        return self.score_batch([image], [boxes], [image_id])[0]
+
+    def score_batch(self, images: list, boxes_list: list, image_ids: list) -> list[list]:
+        """Score up to ``image_slots`` images in one device dispatch.
+
+        images: [H_i, W_i, 3] float32 arrays; boxes_list: [N_i, 4] xyxy
+        per image. Returns one COCO-annotation list per image,
+        independent of the device count.
+        """
         c = self.cfg
-        h, w = image.shape[:2]
-        n = len(boxes)
-        if n == 0:
-            return []
-        slots = -(-n // c.slot_multiple) * c.slot_multiple
-        canvas = np.zeros((c.canvas_size, c.canvas_size, 3), np.float32)
-        canvas[:h, :w] = image
-        padded = np.zeros((slots, 4), np.float32)
-        padded[:n] = boxes
-        valid = np.arange(slots) < n
+        B = c.image_batch
+        D = self.n_devices
+        if len(images) > B * D:
+            raise ValueError(f"{len(images)} images exceed image_slots {B * D}")
+        n_img = len(images)
+        if sum(len(b) for b in boxes_list) == 0:
+            return [[] for _ in range(n_img)]
 
-        out = self._device_fn(self.variables, jnp.asarray(canvas), jnp.asarray(padded), jnp.asarray(valid))
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # per-device lattice: the max group total, rounded to slot_multiple
+        group_tot = [
+            sum(len(boxes_list[g]) for g in range(d * B, min((d + 1) * B, n_img)))
+            for d in range(D)
+        ]
+        K = -(-max(max(group_tot), 1) // c.slot_multiple) * c.slot_multiple
 
-        # host: paste-back + union + tight boxes
-        union_masks = []
-        tight = np.zeros((slots, 4), np.float32)
-        for i in range(n):
-            cm = paste_mask_into_canvas(out["center_mask"][i].astype(np.float32), boxes[i], (h, w))
-            bm = paste_mask_into_canvas(out["boundary_mask"][i].astype(np.float32), boxes[i], (h, w))
-            union = ((cm + bm) > 0).astype(np.uint8)
-            union_masks.append(union)
-            ys, xs = np.nonzero(union)
-            if len(ys):
-                x, y = float(xs.min()), float(ys.min())
-                bw, bh = float(xs.max() - xs.min() + 1), float(ys.max() - ys.min() + 1)
-            else:
-                x = y = bw = bh = 0.0
-            tight[i] = [x, y, x + bw, y + bh]
+        canvases = np.zeros((B * D, c.canvas_size, c.canvas_size, 3), np.float32)
+        lat_boxes = np.zeros((K * D, 4), np.float32)
+        lat_idx = np.zeros((K * D,), np.int32)
+        lat_valid = np.zeros((K * D,), bool)
+        rows = []  # per image: (lattice_row_start, n_boxes)
+        cursors = [d * K for d in range(D)]
+        for g, (image, boxes) in enumerate(zip(images, boxes_list)):
+            d, b = divmod(g, B)
+            h, w = image.shape[:2]
+            if h > c.canvas_size or w > c.canvas_size:
+                raise ValueError(f"image {h}x{w} exceeds canvas {c.canvas_size}")
+            canvases[g, :h, :w] = image
+            n = len(boxes)
+            cur = cursors[d]
+            lat_boxes[cur : cur + n] = boxes
+            lat_idx[cur : cur + n] = b
+            lat_valid[cur : cur + n] = True
+            rows.append((cur, n))
+            cursors[d] = cur + n
 
-        keep = np.asarray(
-            self._nms_j(jnp.asarray(tight), jnp.asarray(out["boundary_score"]), jnp.asarray(valid))
+        if D > 1:
+            fn = self._sharded(B, K)
+        else:
+            fn = self._device_fn
+        out = jax.device_get(
+            fn(self.variables, jnp.asarray(canvases), jnp.asarray(lat_boxes),
+               jnp.asarray(lat_idx), jnp.asarray(lat_valid))
         )
-        keep_idx = np.nonzero(keep)[0]
-        if len(keep_idx) == 0:
-            return []
 
-        areas = np.array([union_masks[i].sum() for i in keep_idx], np.float64)
-        max_area = max(areas.max(), 1.0)
-        anns = []
-        for i, area in zip(keep_idx, areas):
-            area_score = float((area / max_area) ** 0.25)
-            existence = float(out["existence"][i])
-            center_s = float(out["center_score"][i])
-            boundary_s = float(out["boundary_score"][i])
-            x1, y1, x2, y2 = tight[i]
-            enc = rle_codec.encode(union_masks[i])
-            anns.append(
-                {
-                    "image_id": image_id,
-                    "category_id": 1,
-                    "score": existence * center_s * boundary_s * area_score,
-                    "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
-                    "segmentation": enc,
-                    "existence_score": existence,
-                    "center_score": center_s,
-                    "boundary_score": boundary_s,
-                    "area_score": area_score,
-                }
+        # host: paste-back + union + tight boxes, per image
+        results = []
+        all_tight = np.zeros((K * D, 4), np.float32)
+        union_by_img = []
+        for g in range(n_img):
+            cur, n = rows[g]
+            h, w = images[g].shape[:2]
+            union_masks = []
+            for j in range(n):
+                i = cur + j
+                box = boxes_list[g][j]
+                cm = paste_mask_into_canvas(out["center_mask"][i].astype(np.float32), box, (h, w))
+                bm = paste_mask_into_canvas(out["boundary_mask"][i].astype(np.float32), box, (h, w))
+                union = ((cm + bm) > 0).astype(np.uint8)
+                union_masks.append(union)
+                ys, xs = np.nonzero(union)
+                if len(ys):
+                    x, y = float(xs.min()), float(ys.min())
+                    bw, bh = float(xs.max() - xs.min() + 1), float(ys.max() - ys.min() + 1)
+                else:
+                    x = y = bw = bh = 0.0
+                all_tight[i] = [x, y, x + bw, y + bh]
+            union_by_img.append(union_masks)
+
+        # one NMS over the whole lattice: per-image coordinate offsets
+        # zero cross-image IoU (same trick as the discovery engine)
+        global_img = np.repeat(np.arange(D), K) * B + lat_idx  # [K*D]
+        goff = global_img.astype(np.float32)[:, None] * (2.0 * c.canvas_size)
+        keep = np.asarray(
+            self._nms_j(
+                jnp.asarray(all_tight + goff),
+                jnp.asarray(out["boundary_score"]),
+                jnp.asarray(lat_valid),
             )
-        return anns
+        )
+
+        for g in range(n_img):
+            cur, n = rows[g]
+            keep_local = [j for j in range(n) if keep[cur + j]]
+            if not keep_local:
+                results.append([])
+                continue
+            union_masks = union_by_img[g]
+            areas = np.array([union_masks[j].sum() for j in keep_local], np.float64)
+            max_area = max(areas.max(), 1.0)
+            anns = []
+            for j, area in zip(keep_local, areas):
+                i = cur + j
+                area_score = float((area / max_area) ** 0.25)
+                existence = float(out["existence"][i])
+                center_s = float(out["center_score"][i])
+                boundary_s = float(out["boundary_score"][i])
+                x1, y1, x2, y2 = all_tight[i]
+                enc = rle_codec.encode(union_masks[j])
+                anns.append(
+                    {
+                        "image_id": image_ids[g],
+                        "category_id": 1,
+                        "score": existence * center_s * boundary_s * area_score,
+                        "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+                        "segmentation": enc,
+                        "existence_score": existence,
+                        "center_score": center_s,
+                        "boundary_score": boundary_s,
+                        "area_score": area_score,
+                    }
+                )
+            results.append(anns)
+        return results
