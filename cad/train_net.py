@@ -46,6 +46,10 @@ def parse_args(argv=None):
                    help="resolve --test-dataset names via the dataset registry")
     p.add_argument("--canvas-size", type=int, default=1024)
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--eval-bs", type=int, default=0,
+                   help="eval inference batch (0 = auto: 4 per local device)")
+    p.add_argument("--eval-workers", type=int, default=2,
+                   help="JPEG-decode threads overlapping the eval device step")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args(argv)
 
@@ -141,6 +145,34 @@ def auto_scale_workers(solver: dict, num_workers: int) -> dict:
     return s
 
 
+def verify_results(cfg_yaml: dict, metrics: dict) -> bool:
+    """Check eval metrics against config-declared expectations
+    (reference ``verify_results``, ``cad/train_net.py:150-151`` +
+    d2 ``TEST.EXPECTED_RESULTS``, ``defaults.py:550-555``).
+
+    TEST.EXPECTED_RESULTS entries are [task, metric, expected,
+    tolerance], e.g. [["bbox", "AP50", 55.0, 2.0]]. Metrics here are in
+    [0, 1]; expected values follow the reference's 0-100 convention.
+    Raises on violation so CI/e2e runs gate on AP, not just completion.
+    """
+    from unmore_tpu.detector.config_yaml import get
+
+    expected = get(cfg_yaml, "TEST.EXPECTED_RESULTS", []) or []
+    ok = True
+    for task, metric, target, tol in expected:
+        actual = 100.0 * float(metrics.get(task, {}).get(metric, float("nan")))
+        good = np.isfinite(actual) and abs(actual - float(target)) <= float(tol)
+        print(
+            f"verify_results: {task}/{metric} = {actual:.2f} "
+            f"(expected {target} +/- {tol}) -> {'OK' if good else 'FAIL'}",
+            flush=True,
+        )
+        ok = ok and good
+    if not ok:
+        raise AssertionError(f"eval metrics outside TEST.EXPECTED_RESULTS: {expected}")
+    return ok
+
+
 def find_last_checkpoint(out_dir: str) -> str | None:
     """Latest model_NNNNNNN.ckpt in out_dir (reference resume_or_load /
     the d2 last_checkpoint mechanism, defaults.py:458-481)."""
@@ -230,14 +262,21 @@ def main(argv=None):
         )
         if dist.process_count() > 1:
             # multi-host: evaluate from host-local copies (each process
-            # runs its own single-device inference over its image shard)
+            # runs inference on its own local chips over its image shard)
             variables = {
                 "params": jax.device_get(state.params),
                 "batch_stats": jax.device_get(state.batch_stats),
             }
         else:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
-        evaluator = DetectorEvaluator(model, variables, det_cfg)
+        # all local chips serve one sharded inference program (the
+        # reference gives each GPU its own process + InferenceSampler
+        # shard, cad/data/build.py:488-550)
+        from unmore_tpu.parallel.mesh import data_parallel_mesh
+
+        local = jax.local_devices()
+        mesh = data_parallel_mesh(local) if len(local) > 1 else None
+        evaluator = DetectorEvaluator(model, variables, det_cfg, mesh=mesh)
         dataset = COCOImages(test_image_dir, test_json)
         my_indices = dist.host_shard_indices(len(dataset))
         preds = []
@@ -245,14 +284,18 @@ def main(argv=None):
         # batched inference: pad the trailing chunk with tiny blank images
         # under a sentinel id so the jitted forward compiles for exactly
         # one batch size, then drop the sentinel's predictions. JPEG
-        # decode of the next chunk overlaps the device call on a thread.
+        # decode of the next chunk overlaps the device call on
+        # --eval-workers threads.
         from concurrent.futures import ThreadPoolExecutor
 
-        eval_bs = 4
+        eval_bs = args.eval_bs if args.eval_bs > 0 else 4 * len(local)
+        eval_bs = -(-eval_bs // len(local)) * len(local)  # mesh-divisible
         pad = (np.zeros((8, 8, 3), np.float32), -1)
+        decode_pool = ThreadPoolExecutor(max(args.eval_workers, 1))
 
         def load_chunk(c0):
-            chunk = [dataset.get(int(i)) for i in my_indices[c0 : c0 + eval_bs]]
+            idxs = [int(i) for i in my_indices[c0 : c0 + eval_bs]]
+            chunk = list(decode_pool.map(dataset.get, idxs))
             chunk += [pad] * (eval_bs - len(chunk))
             return chunk
 
@@ -268,6 +311,7 @@ def main(argv=None):
                 preds.extend(a for a in anns if a["image_id"] != -1)
                 n_done = min(c0 + eval_bs, len(my_indices))
                 print(f"[{n_done}/{len(my_indices)}] ({n_done / (time.time() - t0):.2f} img/s)", flush=True)
+        decode_pool.shutdown()
         all_preds = [p for chunk in dist.all_gather_objects(preds) for p in chunk]
         if not dist.is_main():
             return None
@@ -279,6 +323,7 @@ def main(argv=None):
         with open(os.path.join(out_dir, f"metrics_{tag}.json"), "w") as f:
             json.dump(metrics, f, indent=2)
         print(json.dumps(metrics, indent=2))
+        verify_results(cfg_yaml, metrics)
         return metrics
 
     if args.eval_only:

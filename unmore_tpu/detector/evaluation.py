@@ -69,13 +69,28 @@ def detections_to_coco(
 
 
 class DetectorEvaluator:
-    """Batched jit inference over an image iterator -> COCO predictions."""
+    """Batched jit inference over an image iterator -> COCO predictions.
 
-    def __init__(self, model, variables, cfg: DetectorConfig, min_size_test: int = 800):
+    With ``mesh`` (a data-parallel ``Mesh`` over local devices), the
+    inference batch is sharded along axis 0 and params are replicated —
+    one GSPMD program uses every local chip (the reference instead gives
+    each GPU its own process via InferenceSampler,
+    ``cad/data/build.py:488-550``). Batch size must then be a multiple
+    of the mesh size.
+    """
+
+    def __init__(self, model, variables, cfg: DetectorConfig, min_size_test: int = 800,
+                 mesh=None):
         self.model = model
         self.cfg = cfg
+        self.mesh = mesh
         # host numpy trees would re-upload on every jit call; pin once
-        self.variables = jax.device_put(variables)
+        if mesh is not None:
+            from unmore_tpu.parallel.mesh import replicate
+
+            self.variables = replicate(mesh, variables)
+        else:
+            self.variables = jax.device_put(variables)
         self.min_size_test = min_size_test
         self._infer = jax.jit(
             lambda v, images, hw: detector_forward_inference(model, v, cfg, images, hw)
@@ -102,9 +117,18 @@ class DetectorEvaluator:
             canvases[i], scale, (nh, nw) = prepare_eval_image(image, S, self.min_size_test)
             hw[i] = (nh, nw)
             scales.append(scale)
-        dets = jax.device_get(
-            self._infer(self.variables, jnp.asarray(canvases), jnp.asarray(hw))
-        )
+        if self.mesh is not None:
+            from unmore_tpu.parallel.mesh import shard_batch
+
+            n_dev = self.mesh.devices.size
+            if B % n_dev:
+                raise ValueError(
+                    f"eval batch {B} must be a multiple of the {n_dev}-device mesh"
+                )
+            canv_j, hw_j = shard_batch(self.mesh, (canvases, hw))
+        else:
+            canv_j, hw_j = jnp.asarray(canvases), jnp.asarray(hw)
+        dets = jax.device_get(self._infer(self.variables, canv_j, hw_j))
         anns = []
         for i, image_id in enumerate(image_ids):
             anns.extend(
