@@ -138,7 +138,7 @@ def test_classifier_train_step_and_eval():
     assert losses[-1] < losses[0]
     stats_after = jax.tree_util.tree_leaves(state.batch_stats)[0]
     assert not np.allclose(stats_before, stats_after), "batch_stats must update"
-    hits, total = make_eval_step(model)(state.params, state.batch_stats, batch)
+    hits, total, _pred = make_eval_step(model)(state.params, state.batch_stats, batch)
     assert float(total) == 8.0 and float(hits) >= 6.0
 
 

@@ -66,7 +66,7 @@ def make_eval_step(model):
     def eval_step(params, batch_stats, batch):
         pred = model.apply({"params": params, "batch_stats": batch_stats}, batch["image"])
         hits = ((pred[:, 0] > 0.5).astype(jnp.float32) == batch["label"]).astype(jnp.float32)
-        return jnp.sum(hits), jnp.asarray(batch["label"].shape[0], jnp.float32)
+        return jnp.sum(hits), jnp.asarray(batch["label"].shape[0], jnp.float32), pred[:, 0]
 
     return eval_step
 
