@@ -55,10 +55,17 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--tiny", action="store_true",
                     help="miniature-dims model (harness self-test; tests/torch_ref.py fixture)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin wins "
+                         "platform selection over JAX_PLATFORMS=cpu env; the "
+                         "f32/HIGHEST parity check neither needs nor wants "
+                         "the remote TPU compile path)")
     args = ap.parse_args()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp

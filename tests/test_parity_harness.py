@@ -60,7 +60,7 @@ def test_parity_harness_passes_on_matching_weights(tmp_path):
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(
-        [sys.executable, CHECK, "--npz", npz, "--objectness_ckpt", obj_ckpt, "--tiny", "--tol", "5e-4"],
+        [sys.executable, CHECK, "--npz", npz, "--objectness_ckpt", obj_ckpt, "--tiny", "--tol", "5e-4", "--cpu"],
         capture_output=True, text=True, env=env, timeout=420,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
@@ -74,7 +74,7 @@ def test_parity_harness_passes_on_matching_weights(tmp_path):
     sd[key] = sd[key] + 0.05
     torch.save({"model_state_dict": sd}, obj_ckpt)
     proc = subprocess.run(
-        [sys.executable, CHECK, "--npz", npz, "--objectness_ckpt", obj_ckpt, "--tiny", "--tol", "5e-4"],
+        [sys.executable, CHECK, "--npz", npz, "--objectness_ckpt", obj_ckpt, "--tiny", "--tol", "5e-4", "--cpu"],
         capture_output=True, text=True, env=env, timeout=420,
     )
     assert proc.returncode == 1, proc.stdout + proc.stderr
