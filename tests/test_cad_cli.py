@@ -103,6 +103,7 @@ def test_cad_cli_train_eval_resume(tmp_path):
         argv = [
             "--config-file", cfg_path,
             "--canvas-size", "64",
+            "--eval-bs", "8",  # auto would pick 4/device x 8 devices = 32
             "--train-json", json_path,
             "--image-root", f"={img_dir}",
             "--test-json", json_path,
@@ -129,11 +130,25 @@ def test_cad_cli_train_eval_resume(tmp_path):
     # still exists alongside the new one at iter 4
     assert os.path.isfile(os.path.join(out_dir, "model_0000002.ckpt"))
 
-    # eval-only path reuses the same weights
+    # eval-only path reuses the same weights; TEST.EXPECTED_RESULTS gates
+    # the run on AP (reference verify_results, cad/train_net.py:150-151):
+    # an unmeetable floor must raise, a permissive one must pass
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        cli.main([
+            "--config-file", cfg_path, "--canvas-size", "64", "--eval-bs", "8",
+            "--eval-only",
+            "--test-json", json_path, "--test-image-dir", img_dir,
+            "MODEL.WEIGHTS", os.path.join(out_dir, "model_0000004.ckpt"),
+            "TEST.EXPECTED_RESULTS", "[['bbox', 'AP50', 99.0, 0.01]]",
+        ])
     cli.main([
-        "--config-file", cfg_path, "--canvas-size", "64", "--eval-only",
+        "--config-file", cfg_path, "--canvas-size", "64", "--eval-bs", "8",
+        "--eval-only",
         "--test-json", json_path, "--test-image-dir", img_dir,
         "MODEL.WEIGHTS", os.path.join(out_dir, "model_0000004.ckpt"),
+        "TEST.EXPECTED_RESULTS", "[['bbox', 'AP', 50.0, 50.0]]",
     ])
     assert os.path.isfile(os.path.join(out_dir, "metrics_eval_only.json"))
 
@@ -145,3 +160,20 @@ def test_find_last_checkpoint(tmp_path):
         open(tmp_path / f"model_{n:07d}.ckpt", "w").close()
     open(tmp_path / "model_bad.ckpt", "w").close()
     assert cli.find_last_checkpoint(str(tmp_path)).endswith("model_0000010.ckpt")
+
+
+def test_verify_results_semantics():
+    # TEST.EXPECTED_RESULTS entries are [task, metric, expected(0-100),
+    # tolerance] (reference defaults.py:550-555); metrics here are 0-1
+    cli = _load_cli()
+    metrics = {"bbox": {"AP": 0.385, "AP50": 0.60}}
+    cfg = {"TEST": {"EXPECTED_RESULTS": [["bbox", "AP", 38.5, 0.2]]}}
+    assert cli.verify_results(cfg, metrics)
+    cfg_bad = {"TEST": {"EXPECTED_RESULTS": [["bbox", "AP50", 90.0, 1.0]]}}
+    with pytest.raises(AssertionError):
+        cli.verify_results(cfg_bad, metrics)
+    # missing metric -> NaN -> fail, never a silent pass
+    cfg_missing = {"TEST": {"EXPECTED_RESULTS": [["segm", "AP", 10.0, 5.0]]}}
+    with pytest.raises(AssertionError):
+        cli.verify_results(cfg_missing, metrics)
+    assert cli.verify_results({}, metrics)  # no expectations -> no-op
