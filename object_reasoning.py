@@ -149,10 +149,22 @@ def main(argv=None):
     timer = StageTimer()
     t0 = time.time()
     B = engine.image_slots
+    # JPEG decode of the next group overlaps the device dispatch (the
+    # same one-chunk-ahead scheme as the detector eval loop); matters
+    # once multi-device sharding multiplies group throughput
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_group(c0):
+        return [dataset.get(int(i)) for i in my_indices[c0 : c0 + B]]
+
+    pool = ThreadPoolExecutor(1)
+    fut = pool.submit(load_group, 0) if len(my_indices) else None
     for base in range(0, len(my_indices), B):
-        group = [dataset.get(int(i)) for i in my_indices[base : base + B]]
         with timer.stage("load"):
-            images = [g[0] for g in group]
+            group = fut.result()
+        if base + B < len(my_indices):
+            fut = pool.submit(load_group, base + B)
+        images = [g[0] for g in group]
         with timer.stage("discover"):
             outs = engine.discover_batch(images)
         for (image, image_id), out in zip(group, outs):
@@ -164,6 +176,7 @@ def main(argv=None):
                 flush=True,
             )
 
+    pool.shutdown()
     # gather per-host shards; process 0 writes the single contract JSON
     merged = {}
     for part in dist.all_gather_objects(results):

@@ -45,12 +45,12 @@ def run_mode(engine_cfg, variables, objectness_fn, classifier_fn, dataset, image
         outs = engine.discover_batch([g[0] for g in group])
         for (image, image_id), out in zip(group, outs):
             results[int(image_id)] = np.asarray(out["boxes"], np.float32)
-            s = out["stats"]
-            crops["boundary"] += sum(s.get("boundary_active_trace", []))
-            crops["existence"] += s.get("n_seed", 0) + s.get("n_split", 0)
-            crops["center"] += s.get("n_center_in", 0) + s.get("n_recheck_center_in", 0)
+        # trace / n_* are GROUP-level stats (shared lattice): count once
+        s = outs[0]["stats"]
+        crops["boundary"] += sum(s.get("boundary_active_trace", []))
+        crops["existence"] += sum(o["stats"]["n_seed"] for o in outs) + s.get("n_split", 0)
+        crops["center"] += s.get("n_center_in", 0) + s.get("n_recheck_center_in", 0)
         print(f"  [{min(base + image_batch, n)}/{n}]", flush=True)
-    # crop counters are shared per group; divide the per-group scalars
     wall = time.time() - t0
     return results, crops, wall
 
@@ -65,6 +65,14 @@ def main():
     ap.add_argument("--sdf_activation", default=None)
     ap.add_argument("--use_bg_sdf", action="store_true", default=True)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--modes", default="sticky,reference_rounds",
+                    help="comma list; a partial run merges into an existing "
+                         "results file (lets a crashed leg be retried alone)")
+    ap.add_argument("--boundary_segment", type=int, default=5,
+                    help="host-driven boundary segmentation (rounds per device "
+                         "call): reference mode re-predicts every box for all "
+                         "50 rounds, and one multi-minute XLA execution trips "
+                         "the TPU worker watchdog through the relay")
     args = ap.parse_args()
 
     import jax
@@ -100,12 +108,23 @@ def main():
         variables=variables,
     )
 
+    on_tpu_early = jax.default_backend() == "tpu"
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "sticky_ab_results.json" if on_tpu_early else "sticky_ab_results_cpu.json",
+    )
     report = {}
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            report.update(json.load(f))
+    wanted = {m.strip() for m in args.modes.split(",")}
     for mode, sticky in (("sticky", True), ("reference_rounds", False)):
+        if mode not in wanted:
+            continue
         print(f"== discovery [{mode}]", flush=True)
         cfg = ReasoningConfig(
             canvas_size=args.canvas_size, image_batch=args.image_batch,
-            sticky_convergence=sticky,
+            sticky_convergence=sticky, boundary_segment=args.boundary_segment,
         )
         boxes_by_img, crops, wall = run_mode(
             cfg, variables, objectness_fn, classifier_fn, dataset, args.image_batch
@@ -130,25 +149,23 @@ def main():
             "n_annotations": len(anns),
         }
         print(json.dumps(report[mode], indent=2), flush=True)
+        with open(out_path, "w") as f:  # persist per leg (crash-safe)
+            json.dump(report, f, indent=2)
 
-    s, r = report["sticky"], report["reference_rounds"]
-    report["delta"] = {
-        "bbox_AP50": round(s["bbox_AP50"] - r["bbox_AP50"], 4),
-        "segm_AP50": round(s["segm_AP50"] - r["segm_AP50"], 4),
-        "bbox_AP": round(s["bbox_AP"] - r["bbox_AP"], 4),
-        "boundary_crop_ratio": round(r["boundary_crops"] / max(s["boundary_crops"], 1), 2),
-        "speedup": round(r["discovery_wall_s"] / max(s["discovery_wall_s"], 1e-9), 2),
-    }
-    print(json.dumps(report["delta"], indent=2))
+    if "sticky" in report and "reference_rounds" in report:
+        s, r = report["sticky"], report["reference_rounds"]
+        report["delta"] = {
+            "bbox_AP50": round(s["bbox_AP50"] - r["bbox_AP50"], 4),
+            "segm_AP50": round(s["segm_AP50"] - r["segm_AP50"], 4),
+            "bbox_AP": round(s["bbox_AP"] - r["bbox_AP"], 4),
+            "boundary_crop_ratio": round(r["boundary_crops"] / max(s["boundary_crops"], 1), 2),
+            "speedup": round(r["discovery_wall_s"] / max(s["discovery_wall_s"], 1e-9), 2),
+        }
+        print(json.dumps(report["delta"], indent=2))
 
-    on_tpu = jax.default_backend() == "tpu"
-    out = args.out or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "sticky_ab_results.json" if on_tpu else "sticky_ab_results_cpu.json",
-    )
-    with open(out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
-    print("wrote", out)
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":

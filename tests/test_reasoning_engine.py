@@ -283,3 +283,20 @@ def test_reference_rounds_mode_matches_sticky_fixed_point():
     tr_s = rs["stats"]["boundary_active_trace"]
     tr_r = rr["stats"]["boundary_active_trace"]
     assert sum(tr_r) >= sum(tr_s)
+
+
+def test_segmented_boundary_matches_fused():
+    # cfg.boundary_segment splits the boundary evolution into bounded
+    # host-driven device calls (TPU-worker watchdog safety); results
+    # must be identical to the fused single-program path, in both
+    # convergence modes
+    gt = (60, 70, 140, 150)
+    world = make_world(200, [gt, (20, 30, 50, 110)])
+    for sticky in (True, False):
+        fused = _engine(sticky_convergence=sticky)
+        seg = _engine(sticky_convergence=sticky, boundary_segment=4)
+        rf = fused.discover(world)
+        rs = seg.discover(world)
+        np.testing.assert_array_equal(rs["boxes"], rf["boxes"])
+        np.testing.assert_array_equal(rs["converged_boxes"], rf["converged_boxes"])
+        assert rs["stats"] == rf["stats"], (sticky, rs["stats"], rf["stats"])

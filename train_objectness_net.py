@@ -429,6 +429,12 @@ def train_existence(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    import jax
+
+    # persistent compile cache: remote compile of the ViT-L graphs takes
+    # ~20 min through the axon relay per NEW process without it
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.train_center_and_boundary:
         train_center_and_boundary(args)
     elif args.train_existence:

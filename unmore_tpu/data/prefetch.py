@@ -90,9 +90,19 @@ class PrefetchIterator:
 
     def close(self):
         self._stop.set()
-        # drain so producers blocked on put() can observe the stop flag
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        # drain so producers blocked on put() can observe the stop flag,
+        # then JOIN the workers: a daemon thread still inside a C++ call
+        # (cv2 / jax transfer) when the interpreter finalizes can abort
+        # the process ("terminate called without an active exception" at
+        # exit, observed with the axon TPU plugin)
+        deadline = time.perf_counter() + 10.0
+        while any(t.is_alive() for t in self._threads):
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            for t in self._threads:
+                t.join(timeout=0.1)
+            if time.perf_counter() > deadline:
+                break

@@ -111,6 +111,15 @@ class ReasoningConfig:
     # reference object_reasoning.py:393). Both reach the same fixed
     # point for a deterministic model; scripts/sticky_ab.py A/Bs the AP.
     sticky_convergence: bool = True
+    # boundary rounds per device call (single-device path only).
+    # 0 = the whole evolution runs inside one fused program. A positive
+    # value splits it into host-driven segments of this many rounds:
+    # one XLA execution that runs many minutes (e.g. reference-rounds
+    # mode re-predicting thousands of crops x 50 rounds) can trip the
+    # TPU worker's execution watchdog ("TPU worker process crashed or
+    # restarted", observed through the axon relay) — segmenting bounds
+    # each execution while keeping identical results.
+    boundary_segment: int = 0
     # fused Pallas decode kernel for the center phase (bit-exact vs the
     # XLA path — ops/pallas/decode.py). None = auto: on when the default
     # backend is TPU, off elsewhere (CPU tests run the XLA path).
@@ -259,6 +268,10 @@ class ObjectDiscoveryEngine:
 
         B = c.image_batch
         self._core_j = jax.jit(self.discover_core)
+        # segmented-boundary pieces (cfg.boundary_segment > 0)
+        self._pre_j = jax.jit(self._core_pre)
+        self._post_j = jax.jit(self._core_post)
+        self._boundary_seg_j = jax.jit(self._boundary_segment)
         self._core_sharded = None
         if self.devices is not None and len(self.devices) > 1:
             from jax.sharding import Mesh, PartitionSpec as P
@@ -467,18 +480,28 @@ class ObjectDiscoveryEngine:
         round (the per-round model FLOP load; -> convergence schedule).
         """
         c = self.cfg
-        S = c.crop_size
-        K = boxes.shape[0]
         labels0 = jnp.where(valid, 0.0, -1.0)
         trace0 = jnp.zeros((c.n_round,), jnp.int32)
+        return self._boundary_segment(
+            variables, canvases, hw, boxes, idx, labels0, jnp.int32(0), trace0,
+            jnp.int32(c.n_round),
+        )
+
+    def _boundary_segment(self, variables, canvases, hw, boxes, idx, labels, rnd, trace, r_stop):
+        """Run the boundary evolution from ``rnd`` until ``r_stop`` (or
+        drained) — a resumable segment so one device call never executes
+        unboundedly long (cfg.boundary_segment)."""
+        c = self.cfg
+        S = c.crop_size
+        K = boxes.shape[0]
 
         def cond(state):
             _, _, labels, rnd, _ = state
             if c.sticky_convergence:
-                return (rnd < c.n_round) & jnp.any(labels == 0)
+                return (rnd < r_stop) & jnp.any(labels == 0)
             # reference mode: converged boxes are re-activated every
-            # round, so run all n_round rounds unless everything dropped
-            return (rnd < c.n_round) & jnp.any(labels >= 0)
+            # round, so run all rounds unless everything dropped
+            return (rnd < r_stop) & jnp.any(labels >= 0)
 
         def body(state):
             boxes, idx, labels, rnd, trace = state
@@ -552,7 +575,7 @@ class ObjectDiscoveryEngine:
             return boxes, idx, labels, rnd + 1, trace
 
         boxes, idx, labels, rounds, trace = jax.lax.while_loop(
-            cond, body, (boxes, idx, labels0, jnp.int32(0), trace0)
+            cond, body, (boxes, idx, labels, rnd, trace)
         )
         return boxes, idx, labels, rounds, trace
 
@@ -582,6 +605,17 @@ class ObjectDiscoveryEngine:
         outputs are [K_act, ...], per-image stats [image_batch], scalar
         stats [1], the round trace [1, n_round].
         """
+        act_boxes, act_idx, act_valid, stats = self._core_pre(
+            variables, canvases, hw, boxes, idx, valid
+        )
+        final_boxes, final_idx, labels, rounds, active_trace = self._boundary_phase(
+            variables, canvases, hw, act_boxes, act_idx, act_valid
+        )
+        return self._core_post(final_boxes, final_idx, labels, rounds, active_trace, stats)
+
+    def _core_pre(self, variables, canvases, hw, boxes, idx, valid):
+        """Existence -> center/split/CC -> recheck -> active compaction
+        (everything before the boundary evolution)."""
         c = self.cfg
         B = c.image_batch
 
@@ -626,11 +660,22 @@ class ObjectDiscoveryEngine:
         act_boxes, act_valid, act_idx, n_act, act_overflow = self._compact_with_idx(
             all_boxes, all_valid, all_idx, out_slots=c.max_active * B
         )
+        stats = {
+            "n_exist": n_exist,
+            "n_center_in": n_center_in,
+            "n_split": n_split,
+            "split_overflow": split_overflow,
+            "cc_overflow": cc_overflow,
+            "n_recheck_center_in": n_recheck,
+            "n_boundary_in": n_act,
+            "active_overflow": act_overflow,
+        }
+        return act_boxes, act_idx, act_valid, stats
 
-        # step 3: boundary reasoning (exits immediately when nothing active)
-        final_boxes, final_idx, labels, rounds, active_trace = self._boundary_phase(
-            variables, canvases, hw, act_boxes, act_idx, act_valid
-        )
+    def _core_post(self, final_boxes, final_idx, labels, rounds, active_trace, stats):
+        """NMS + in-graph result/stat assembly after the boundary phase."""
+        c = self.cfg
+        B = c.image_batch
         keep = labels == 1
 
         # NMS (scores are all 1 -> deterministic index-order tie-break)
@@ -646,19 +691,41 @@ class ObjectDiscoveryEngine:
             "final_idx": final_idx,
             "keep": keep,
             "nms_keep": nms_keep,
-            "n_exist": n_exist,
+            "n_exist": stats["n_exist"],
             "n_converged": n_converged,
             "n_final": n_final,
             "trace": active_trace[None],
-            "n_center_in": one(n_center_in),
-            "n_split": one(n_split),
-            "split_overflow": one(split_overflow),
-            "cc_overflow": one(cc_overflow),
-            "n_recheck_center_in": one(n_recheck),
-            "n_boundary_in": one(n_act),
-            "active_overflow": one(act_overflow),
+            "n_center_in": one(stats["n_center_in"]),
+            "n_split": one(stats["n_split"]),
+            "split_overflow": one(stats["split_overflow"]),
+            "cc_overflow": one(stats["cc_overflow"]),
+            "n_recheck_center_in": one(stats["n_recheck_center_in"]),
+            "n_boundary_in": one(stats["n_boundary_in"]),
+            "active_overflow": one(stats["active_overflow"]),
             "boundary_rounds": one(rounds),
         }
+
+    def _discover_segmented(self, canvases, hw, boxes, idx, valid):
+        """Single-device discovery with the boundary evolution split
+        into host-driven segments of cfg.boundary_segment rounds each —
+        bounds the runtime of any one XLA execution (the relay's TPU
+        worker kills executions that run for many minutes). Produces the
+        same outputs as the fused :meth:`discover_core`."""
+        c = self.cfg
+        v = self.variables
+        act_boxes, act_idx, act_valid, stats = self._pre_j(v, canvases, hw, boxes, idx, valid)
+        labels = jnp.where(act_valid, 0.0, -1.0)
+        rnd = jnp.int32(0)
+        trace = jnp.zeros((c.n_round,), jnp.int32)
+        state = (act_boxes, act_idx, labels, rnd, trace)
+        while True:
+            r_stop = min(int(state[3]) + c.boundary_segment, c.n_round)
+            state = self._boundary_seg_j(v, canvases, hw, *state, jnp.int32(r_stop))
+            labels_s = state[2]
+            live = jnp.any(labels_s == 0) if c.sticky_convergence else jnp.any(labels_s >= 0)
+            if int(state[3]) >= c.n_round or not bool(live):
+                break
+        return self._post_j(state[0], state[1], state[2], state[3], state[4], stats)
 
     def discover(self, image: np.ndarray) -> dict:
         """Run full discovery on one image [H, W, 3] float32 in [0, 1].
@@ -706,17 +773,19 @@ class ObjectDiscoveryEngine:
             idx_np[cursor : cursor + len(seeds)] = b
             valid_np[cursor : cursor + len(seeds)] = True
 
-        core = self._core_sharded if self._core_sharded is not None else self._core_j
-        out = jax.device_get(
-            core(
-                self.variables,
-                jnp.asarray(canvases),
-                jnp.asarray(hw),
-                jnp.asarray(boxes_np),
-                jnp.asarray(idx_np),
-                jnp.asarray(valid_np),
-            )
+        args = (
+            jnp.asarray(canvases),
+            jnp.asarray(hw),
+            jnp.asarray(boxes_np),
+            jnp.asarray(idx_np),
+            jnp.asarray(valid_np),
         )
+        if self._core_sharded is not None:
+            out = jax.device_get(self._core_sharded(self.variables, *args))
+        elif c.boundary_segment > 0:
+            out = jax.device_get(self._discover_segmented(*args))
+        else:
+            out = jax.device_get(self._core_j(self.variables, *args))
 
         K_act = out["final_boxes"].shape[0] // D
         results = []
