@@ -217,8 +217,18 @@ def to_lattice(sample: dict, max_gt: int, mask_res: int) -> dict:
         valid[g] = True
         crop = inst.mask[int(y1) : int(np.ceil(y2)), int(x1) : int(np.ceil(x2))]
         masks[g] = cv2.resize(crop.astype(np.float32), (mask_res, mask_res), interpolation=cv2.INTER_LINEAR)
+    # uint8 wire format: images + soft mask targets quantized to 0-255
+    # and converted back to [0,1] float ON DEVICE (_normalize /
+    # _mask_targets_float) — 4x less host->device transfer per step
+    # (images alone are 100 MB/step at 1024^2 b8 as f32, and the relay
+    # moves 10-60 MB/s). Images decode from uint8 JPEG, so quantization
+    # only touches interpolated pixels (<1/255 error).
+    image = sample["image"]
+    if image.dtype != np.uint8:
+        image = np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    masks = np.clip(masks * 255.0 + 0.5, 0, 255).astype(np.uint8)
     return {
-        "image": sample["image"],
+        "image": image,
         "image_hw": np.asarray(sample["hw"], np.float32),
         "gt_boxes": boxes,
         "gt_scores": scores,

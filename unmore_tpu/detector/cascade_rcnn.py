@@ -133,16 +133,29 @@ class CascadeMaskRCNN(nn.Module):
 
 
 def _normalize(images):
+    # uint8 canvases are the wire format from the data pipeline (4x less
+    # host->device bandwidth than f32 — 100 MB/step at 1024^2 b8);
+    # conversion to [0,1] float happens here on device
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     return (images - PIXEL_MEAN) / PIXEL_STD
+
+
+def _mask_targets_float(gt_masks):
+    """uint8-quantized (0-255) soft mask targets -> [0,1] float."""
+    if gt_masks.dtype == jnp.uint8:
+        return gt_masks.astype(jnp.float32) / 255.0
+    return gt_masks
 
 
 def detector_forward_train(model, variables, cfg: DetectorConfig, batch, rng):
     """Full training forward -> dict of scalar losses (+ new batch_stats).
 
-    batch: images [B,S,S,3] in [0,1]; image_hw [B,2]; gt_boxes [B,G,4];
-    gt_scores [B,G]; gt_valid [B,G]; gt_masks [B,G,R,R];
-    is_single_object [B]. The per-image pipeline is vmapped over the
-    batch so GSPMD shards it cleanly along the mesh data axis.
+    batch: images [B,S,S,3] in [0,1] float (or uint8 0-255); image_hw
+    [B,2]; gt_boxes [B,G,4]; gt_scores [B,G]; gt_valid [B,G]; gt_masks
+    [B,G,R,R] in [0,1] float (or uint8 0-255); is_single_object [B].
+    The per-image pipeline is vmapped over the batch so GSPMD shards it
+    cleanly along the mesh data axis.
     """
     images = _normalize(batch["images"])
     (feats, rpn_out), mutated = model.apply(
@@ -236,7 +249,8 @@ def detector_forward_train(model, variables, cfg: DetectorConfig, batch, rng):
     del_levels = [rpn_out[n]["deltas"] for n in names]
     per_image_losses = jax.vmap(per_image)(
         feats_roi, obj_levels, del_levels,
-        batch["gt_boxes"], batch["gt_scores"], batch["gt_valid"], batch["gt_masks"],
+        batch["gt_boxes"], batch["gt_scores"], batch["gt_valid"],
+        _mask_targets_float(batch["gt_masks"]),
         batch["is_single_object"], batch["image_hw"], rngs,
     )
     losses_acc = {k: jnp.mean(v) for k, v in per_image_losses.items()}
