@@ -50,6 +50,9 @@ def parse_args(argv=None):
                    help="eval inference batch (0 = auto: 4 per local device)")
     p.add_argument("--eval-workers", type=int, default=2,
                    help="JPEG-decode threads overlapping the eval device step")
+    p.add_argument("--train-workers", type=int, default=4,
+                   help="training prefetch workers (decode + copy-paste); "
+                        "raise on many-core hosts if data_starved grows")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args(argv)
 
@@ -365,7 +368,8 @@ def main(argv=None):
 
     it = PrefetchIterator(
         worker_fns=[
-            _worker_fn(1000 + 17 * dist.process_index() + w) for w in range(4)
+            _worker_fn(1000 + 17 * dist.process_index() + w)
+            for w in range(max(args.train_workers, 1))
         ]
     )
 

@@ -23,7 +23,9 @@ from unmore_tpu.utils import rle as rle_codec
 def prepare_eval_image(image: np.ndarray, canvas_size: int, min_size: int = 800):
     """Resize shorter side to min_size (capped by canvas), pad to square.
 
-    Returns (canvas [S,S,3], scale, (nh, nw))."""
+    Returns (canvas [S,S,3] uint8, scale, (nh, nw)) — uint8 is the wire
+    format (4x less host->device transfer; the model normalizes on
+    device, cascade_rcnn._normalize)."""
     import cv2
 
     h0, w0 = image.shape[:2]
@@ -31,7 +33,9 @@ def prepare_eval_image(image: np.ndarray, canvas_size: int, min_size: int = 800)
     scale = min(scale, canvas_size / max(h0, w0))
     nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
     resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    canvas = np.zeros((canvas_size, canvas_size, 3), np.float32)
+    if resized.dtype != np.uint8:
+        resized = np.clip(resized * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
     canvas[:nh, :nw] = resized
     return canvas, scale, (nh, nw)
 
@@ -110,7 +114,7 @@ class DetectorEvaluator:
         """
         S = self.cfg.image_size
         B = len(images)
-        canvases = np.zeros((B, S, S, 3), np.float32)
+        canvases = np.zeros((B, S, S, 3), np.uint8)
         hw = np.ones((B, 2), np.float32)
         scales = []
         for i, image in enumerate(images):
