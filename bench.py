@@ -235,7 +235,7 @@ def main():
             + (rec["center_crops"] + rec["recheck_center_crops"]) * f_both
             + rec["boundary_crops_total"] * f_sdf
         ) / 1e12 / B_rec
-        extra = {
+        extra |= {
             "pinned_images_per_sec": round(pinned_ips, 4),
             "pinned_model_tflop_per_image": round(pinned_tflop, 1),
             "recorded_model_tflop_per_image": round(rec_tflop, 1),

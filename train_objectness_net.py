@@ -230,17 +230,20 @@ def train_center_and_boundary(args):
             import jax as _jax
             import numpy as _np
 
-            out = model.apply({"params": _jax.device_get(state.params)}, host_batch["image"][:args.N_vis])
+            vis_imgs = host_batch["image"][: args.N_vis]
+            if vis_imgs.dtype == _np.uint8:  # decode the wire format
+                vis_imgs = vis_imgs.astype(_np.float32) / 255.0
+            out = model.apply({"params": _jax.device_get(state.params)}, vis_imgs)
             vis_dir = os.path.join(result_folder, "imgs", f"iter_{step_no}")
             for s_idx in range(min(args.N_vis, len(host_batch["image"]))):
                 dump_objectness_diagnostics(
                     vis_dir, f"s{s_idx}",
-                    image=host_batch["image"][s_idx],
+                    image=vis_imgs[s_idx],
                     pred_center=_np.asarray(out["center_fields"][s_idx]),
                     pred_sdf=_np.asarray(out["sdf_maps"][s_idx]),
-                    gt_center=host_batch["center_field"][s_idx],
-                    gt_sdf=host_batch["sdf"][s_idx],
-                    gt_mask=host_batch["saliency_mask"][s_idx],
+                    gt_center=_np.asarray(host_batch["center_field"][s_idx], _np.float32),
+                    gt_sdf=_np.asarray(host_batch["sdf"][s_idx], _np.float32),
+                    gt_mask=_np.asarray(host_batch["saliency_mask"][s_idx], _np.float32),
                 )
             print(f"* wrote diagnostics to {vis_dir}")
         if step_no % args.log_every == 0:
@@ -300,8 +303,11 @@ def _existence_batch_worker(args, worker_seed):
 
     def batch():
         samples = [sample() for _ in range(args.batch_size)]
+        images = np.stack([s[0] for s in samples])
+        if images.dtype != np.uint8:  # uint8 wire format (see votecut.py)
+            images = np.clip(images * 255.0 + 0.5, 0, 255).astype(np.uint8)
         return {
-            "image": np.stack([s[0] for s in samples]),
+            "image": images,
             "label": np.array([s[1] for s in samples], np.float32),
         }
 
@@ -359,9 +365,10 @@ def train_existence(args):
                 os.makedirs(img_folder, exist_ok=True)
                 pred = np.asarray(pred)
                 for i in range(min(len(eb["image"]), 64)):
-                    Image.fromarray(
-                        (eb["image"][i] * 255).astype(np.uint8)
-                    ).save(
+                    im = eb["image"][i]
+                    if im.dtype != np.uint8:
+                        im = (im * 255).astype(np.uint8)
+                    Image.fromarray(im).save(
                         os.path.join(
                             img_folder,
                             f"{i}_input_image_gt_{eb['label'][i]:.0f}_pred_{pred[i]:.3f}.png",

@@ -205,9 +205,18 @@ def batch_iterator(sample_fn, num_samples: int, batch_size: int, rng: np.random.
             if fg == 0 or fg == s.saliency_mask.size:
                 continue  # reference drops no-FG and all-FG samples
             batch.append(s)
+        # wire format (decoded on device by train.objectness.
+        # decode_wire_batch): uint8 images (exact for the JPEG-decoded
+        # source pixels), float16 field/SDF targets (values in [-1,1];
+        # ~1e-3 relative target noise), uint8 binary mask — 60% less
+        # host->device transfer, which bounds stage-1 e2e throughput
+        # through the relay (step alone: 147 img/s; e2e was 41-85).
+        images = np.stack([s.image for s in batch])
+        if images.dtype != np.uint8:
+            images = np.clip(images * 255.0 + 0.5, 0, 255).astype(np.uint8)
         yield {
-            "image": np.stack([s.image for s in batch]),
-            "center_field": np.stack([s.center_field for s in batch]),
-            "sdf": np.stack([s.sdf for s in batch]),
-            "saliency_mask": np.stack([s.saliency_mask for s in batch]),
+            "image": images,
+            "center_field": np.stack([s.center_field for s in batch]).astype(np.float16),
+            "sdf": np.stack([s.sdf for s in batch]).astype(np.float16),
+            "saliency_mask": np.stack([s.saliency_mask for s in batch]).astype(np.uint8),
         }

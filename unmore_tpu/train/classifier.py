@@ -33,11 +33,18 @@ def bce_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-7) -> jax.Array
     return -jnp.mean(target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred))
 
 
+def _wire_images(images):
+    """uint8 wire-format crops -> [0,1] float (device-side)."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 def make_classifier_train_step(model, tx, mesh: Mesh | None = None):
     def loss_fn(params, batch_stats, batch):
         pred, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"],
+            _wire_images(batch["image"]),
             train=True,
             mutable=["batch_stats"],
         )
@@ -64,7 +71,9 @@ def make_classifier_train_step(model, tx, mesh: Mesh | None = None):
 def make_eval_step(model):
     @jax.jit
     def eval_step(params, batch_stats, batch):
-        pred = model.apply({"params": params, "batch_stats": batch_stats}, batch["image"])
+        pred = model.apply(
+            {"params": params, "batch_stats": batch_stats}, _wire_images(batch["image"])
+        )
         hits = ((pred[:, 0] > 0.5).astype(jnp.float32) == batch["label"]).astype(jnp.float32)
         return jnp.sum(hits), jnp.asarray(batch["label"].shape[0], jnp.float32), pred[:, 0]
 

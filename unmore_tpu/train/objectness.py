@@ -98,11 +98,27 @@ def objectness_losses(out: dict, batch: dict, cfg: TrainObjectnessConfig) -> dic
     return losses
 
 
+def decode_wire_batch(batch: dict) -> dict:
+    """Wire-format batches (uint8 images/masks, float16 fields — 60%
+    less host->device transfer, which bounds stage-1 e2e throughput
+    through the relay) -> the float32 the losses expect. Float batches
+    pass through unchanged."""
+    out = dict(batch)
+    img = batch["image"]
+    if img.dtype == jnp.uint8:
+        out["image"] = img.astype(jnp.float32) / 255.0
+    for k in ("center_field", "sdf", "saliency_mask"):
+        if k in batch and batch[k].dtype != jnp.float32:
+            out[k] = batch[k].astype(jnp.float32)
+    return out
+
+
 def make_train_step(model, tx, cfg: TrainObjectnessConfig, mesh: Mesh | None = None):
     """Returns train_step(state, batch) -> (state, metrics), jitted with
     DP shardings when a mesh is given."""
 
     def loss_fn(params, batch):
+        batch = decode_wire_batch(batch)
         out = model.apply({"params": params}, batch["image"])
         losses = objectness_losses(out, batch, cfg)
         return losses["total"], losses
