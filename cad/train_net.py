@@ -298,7 +298,8 @@ def main(argv=None):
 
         def load_chunk(c0):
             idxs = [int(i) for i in my_indices[c0 : c0 + eval_bs]]
-            chunk = list(decode_pool.map(dataset.get, idxs))
+            # uint8 wire format (prepare_eval_image emits uint8 canvases)
+            chunk = list(decode_pool.map(lambda i: dataset.get(i, dtype=np.uint8), idxs))
             chunk += [pad] * (eval_bs - len(chunk))
             return chunk
 

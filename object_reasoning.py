@@ -155,7 +155,8 @@ def main(argv=None):
     from concurrent.futures import ThreadPoolExecutor
 
     def load_group(c0):
-        return [dataset.get(int(i)) for i in my_indices[c0 : c0 + B]]
+        # uint8 wire format: 4x less canvas upload per group
+        return [dataset.get(int(i), dtype=np.uint8) for i in my_indices[c0 : c0 + B]]
 
     pool = ThreadPoolExecutor(1)
     fut = pool.submit(load_group, 0) if len(my_indices) else None

@@ -107,7 +107,7 @@ def main(argv=None):
     t0 = time.time()
     B = engine.image_slots
     for base in range(0, len(my_indices), B):
-        group = [dataset.get(todo[int(i)]) for i in my_indices[base : base + B]]
+        group = [dataset.get(todo[int(i)], dtype=np.uint8) for i in my_indices[base : base + B]]
         images = [g[0] for g in group]
         ids = [int(g[1]) for g in group]
         boxes_list = [

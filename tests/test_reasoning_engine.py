@@ -300,3 +300,20 @@ def test_segmented_boundary_matches_fused():
         np.testing.assert_array_equal(rs["boxes"], rf["boxes"])
         np.testing.assert_array_equal(rs["converged_boxes"], rf["converged_boxes"])
         assert rs["stats"] == rf["stats"], (sticky, rs["stats"], rf["stats"])
+
+
+def test_uint8_wire_canvases_match_float():
+    # uint8 canvases (the CLI wire format) decode on device to the same
+    # results as float input — the world here is quantization-exact
+    gt = (60, 70, 140, 150)
+    world = make_world(200, [gt])
+    world_q = np.clip(world * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    # rebuild the float world from the quantized one so both paths see
+    # bit-identical pixel values
+    world_f = world_q.astype(np.float32) / 255.0
+    eng_f = _engine()
+    eng_u = _engine()
+    rf = eng_f.discover(world_f)
+    ru = eng_u.discover(world_q)
+    np.testing.assert_array_equal(ru["boxes"], rf["boxes"])
+    assert ru["stats"] == rf["stats"]

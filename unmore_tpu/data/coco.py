@@ -33,11 +33,15 @@ class COCOImages:
     def __len__(self):
         return len(self.filenames)
 
-    def get(self, idx: int):
-        """-> (image [H, W, 3] float32 in [0,1], image_id)."""
+    def get(self, idx: int, dtype=np.float32):
+        """-> (image [H, W, 3] float32 in [0,1] — or uint8 0-255 with
+        ``dtype=np.uint8``, the low-bandwidth wire format the engines
+        decode on device — and image_id)."""
         fname = self.filenames[idx]
         img = Image.open(os.path.join(self.image_dir, fname)).convert("RGB")
-        arr = np.asarray(img, np.float32) / 255.0
+        arr = np.asarray(img, np.uint8)
+        if dtype != np.uint8:
+            arr = arr.astype(np.float32) / 255.0
         return arr, self.fname_to_id[fname]
 
     def image_id(self, idx: int) -> int:

@@ -176,6 +176,14 @@ class ReasoningConfig:
         return max(min(self.exist_chunk, smallest), self.crop_chunk)
 
 
+def _decode_canvases(canvases: jax.Array) -> jax.Array:
+    """uint8 wire-format canvases -> [0,1] float32 (device-side; 4x
+    less host->device transfer per image group). Float passes through."""
+    if canvases.dtype == jnp.uint8:
+        return canvases.astype(jnp.float32) / 255.0
+    return canvases
+
+
 def _compact(boxes: jax.Array, valid: jax.Array, out_slots: int, extras=()):
     """Stable-gather valid rows to the front of a fixed-size lattice.
 
@@ -491,6 +499,7 @@ class ObjectDiscoveryEngine:
         """Run the boundary evolution from ``rnd`` until ``r_stop`` (or
         drained) — a resumable segment so one device call never executes
         unboundedly long (cfg.boundary_segment)."""
+        canvases = _decode_canvases(canvases)
         c = self.cfg
         S = c.crop_size
         K = boxes.shape[0]
@@ -616,6 +625,7 @@ class ObjectDiscoveryEngine:
     def _core_pre(self, variables, canvases, hw, boxes, idx, valid):
         """Existence -> center/split/CC -> recheck -> active compaction
         (everything before the boundary evolution)."""
+        canvases = _decode_canvases(canvases)
         c = self.cfg
         B = c.image_batch
 
@@ -750,7 +760,12 @@ class ObjectDiscoveryEngine:
             raise ValueError(f"{len(images)} images exceed image_slots {B * D}")
         n_img = len(images)
 
-        canvases = np.zeros((B * D, c.canvas_size, c.canvas_size, 3), np.float32)
+        # uint8 images ride the low-bandwidth wire format end to end
+        use_u8 = n_img > 0 and all(im.dtype == np.uint8 for im in images)
+        canvases = np.zeros(
+            (B * D, c.canvas_size, c.canvas_size, 3),
+            np.uint8 if use_u8 else np.float32,
+        )
         hw = np.ones((B * D, 2), np.float32)
         K = c.max_proposals * B  # per-device lattice
         boxes_np = np.zeros((K * D, 4), np.float32)
@@ -762,6 +777,8 @@ class ObjectDiscoveryEngine:
             h, w = image.shape[:2]
             if h > c.canvas_size or w > c.canvas_size:
                 raise ValueError(f"image {h}x{w} exceeds canvas {c.canvas_size}")
+            if image.dtype == np.uint8 and not use_u8:
+                image = image.astype(np.float32) / 255.0  # mixed-dtype input
             canvases[g, :h, :w] = image
             hw[g] = (h, w)
             seeds = seed_proposals(h, w).astype(np.float32)

@@ -72,7 +72,10 @@ class ObjectScoringEngine:
         return self.cfg.image_batch * self.n_devices
 
     def _device_scores(self, variables, canvases, boxes, idx, valid):
-        """canvases [B,S,S,3]; boxes [K,4] + idx [K] on a shared lattice."""
+        """canvases [B,S,S,3] float [0,1] or uint8 wire format; boxes
+        [K,4] + idx [K] on a shared lattice."""
+        if canvases.dtype == jnp.uint8:
+            canvases = canvases.astype(jnp.float32) / 255.0
         c = self.cfg
         crops = crop_and_resize(canvases, boxes, out_size=c.crop_size, chunk=64, image_idx=idx)
 
@@ -144,7 +147,11 @@ class ObjectScoringEngine:
         ]
         K = -(-max(max(group_tot), 1) // c.slot_multiple) * c.slot_multiple
 
-        canvases = np.zeros((B * D, c.canvas_size, c.canvas_size, 3), np.float32)
+        use_u8 = all(im.dtype == np.uint8 for im in images)
+        canvases = np.zeros(
+            (B * D, c.canvas_size, c.canvas_size, 3),
+            np.uint8 if use_u8 else np.float32,
+        )
         lat_boxes = np.zeros((K * D, 4), np.float32)
         lat_idx = np.zeros((K * D,), np.int32)
         lat_valid = np.zeros((K * D,), bool)
@@ -155,6 +162,8 @@ class ObjectScoringEngine:
             h, w = image.shape[:2]
             if h > c.canvas_size or w > c.canvas_size:
                 raise ValueError(f"image {h}x{w} exceeds canvas {c.canvas_size}")
+            if image.dtype == np.uint8 and not use_u8:
+                image = image.astype(np.float32) / 255.0  # mixed-dtype input
             canvases[g, :h, :w] = image
             n = len(boxes)
             cur = cursors[d]
