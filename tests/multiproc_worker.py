@@ -89,4 +89,20 @@ if dist.is_main():
         f.write(f"{losses[-1]:.8f}")
 dist.barrier("ckpt")
 
+# the scoring-CLI composition (object_scoring.py): each host scores its
+# strided shard of the work list, annotations are gathered, process 0
+# writes ONE merged contract JSON covering every item exactly once
+import json
+
+todo = list(range(10))
+my_items = dist.host_shard_indices(len(todo))
+my_anns = [{"image_id": todo[int(i)], "score": 0.5, "by": pid} for i in my_items]
+merged = [a for part in dist.all_gather_objects(my_anns) for a in part]
+if dist.is_main():
+    with open(os.path.join(out_dir, "object_discovery_with_scores.json"), "w") as f:
+        json.dump(merged, f)
+dist.barrier("scores")
+assert sorted(a["image_id"] for a in merged) == todo
+assert {a["by"] for a in merged} == {0, 1}
+
 print(f"WORKER_OK pid={pid} loss={losses[-1]:.8f}")

@@ -44,6 +44,11 @@ def test_two_process_mesh_trains_and_writes_once(tmp_path):
     ckpt = tmp_path / "ckpt.txt"
     assert ckpt.is_file()
     assert ckpt.read_text() == losses[0]
+    # the scoring-CLI composition wrote ONE merged contract JSON
+    import json
+
+    merged = json.loads((tmp_path / "object_discovery_with_scores.json").read_text())
+    assert sorted(a["image_id"] for a in merged) == list(range(10))
 
 
 def test_single_process_degenerate_paths():
