@@ -317,3 +317,29 @@ def test_uint8_wire_canvases_match_float():
     ru = eng_u.discover(world_q)
     np.testing.assert_array_equal(ru["boxes"], rf["boxes"])
     assert ru["stats"] == rf["stats"]
+
+
+def test_sharded_segmented_matches_sharded_fused():
+    # the multi-device segmented path (watchdog safety) must match the
+    # fused sharded program exactly, per device
+    gt_a = (60, 70, 140, 150)
+    gt_b = (20, 30, 90, 110)
+    worlds = [make_world(200, [gt_a]), make_world(200, [gt_b, gt_a])]
+    kwargs = dict(
+        canvas_size=200, max_proposals=256, max_splits=256, max_active=256,
+        crop_chunk=16, n_round=30, analyze_cc=False, image_batch=1,
+    )
+    fused = ObjectDiscoveryEngine(
+        fake_objectness, fake_classifier, ReasoningConfig(**kwargs),
+        devices=jax.devices()[:2],
+    )
+    seg = ObjectDiscoveryEngine(
+        fake_objectness, fake_classifier,
+        ReasoningConfig(boundary_segment=4, **kwargs),
+        devices=jax.devices()[:2],
+    )
+    rf = fused.discover_batch(worlds)
+    rs = seg.discover_batch(worlds)
+    for a, b in zip(rs, rf):
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+        assert a["stats"] == b["stats"]

@@ -285,19 +285,35 @@ class ObjectDiscoveryEngine:
             from jax.sharding import Mesh, PartitionSpec as P
 
             mesh = Mesh(np.asarray(self.devices), ("data",))
-            self._core_sharded = jax.jit(
-                jax.shard_map(
-                    self.discover_core,
-                    mesh=mesh,
-                    # variables replicated; canvases/lattices sharded on
-                    # the leading (group) axis
-                    in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data")),
-                    out_specs=P("data"),
-                    # per-device while_loop trip counts legitimately
-                    # diverge across devices; skip the varying-manual-axes check
-                    check_vma=False,
-                )
+            sm = functools.partial(
+                jax.shard_map, mesh=mesh, out_specs=P("data"),
+                # per-device while_loop trip counts legitimately diverge
+                # across devices; skip the varying-manual-axes check
+                check_vma=False,
             )
+            # variables replicated; canvases/lattices sharded on the
+            # leading (group) axis
+            self._core_sharded = jax.jit(
+                sm(self.discover_core,
+                   in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data")))
+            )
+            if c.boundary_segment > 0:
+                # segmented-boundary pieces, sharded (watchdog safety on
+                # multi-device hosts too): every leaf in/out carries a
+                # leading per-device axis
+                self._pre_sharded = jax.jit(
+                    sm(self._core_pre_shard,
+                       in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data")))
+                )
+                self._seg_sharded = jax.jit(
+                    sm(self._boundary_segment_shard,
+                       in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                                 P("data"), P("data"), P("data"), P()))
+                )
+                self._post_sharded = jax.jit(
+                    sm(self._core_post_shard,
+                       in_specs=(P("data"),) * 6)
+                )
         self._existence_j = jax.jit(self._existence_phase)
         self._center_j = jax.jit(functools.partial(self._center_phase, analyze_cc=c.analyze_cc))
         self._center_nocc_j = jax.jit(functools.partial(self._center_phase, analyze_cc=False))
@@ -715,6 +731,54 @@ class ObjectDiscoveryEngine:
             "boundary_rounds": one(rounds),
         }
 
+    # ---- per-device wrappers for the sharded segmented path: every
+    # leaf gets a leading axis so shard_map out_specs can concatenate
+    def _core_pre_shard(self, variables, canvases, hw, boxes, idx, valid):
+        act_boxes, act_idx, act_valid, stats = self._core_pre(
+            variables, canvases, hw, boxes, idx, valid
+        )
+        stats = {
+            k: jnp.asarray(v).reshape(1) if jnp.ndim(v) == 0 else v
+            for k, v in stats.items()
+        }
+        return act_boxes, act_idx, act_valid, stats
+
+    def _boundary_segment_shard(self, variables, canvases, hw, boxes, idx,
+                                labels, rnd1, trace1, r_stop):
+        """rnd1 [1], trace1 [1, n_round] per device; returns the same
+        shapes plus a per-device [1] live flag for the host loop."""
+        boxes, idx, labels, rnd, trace = self._boundary_segment(
+            variables, canvases, hw, boxes, idx, labels, rnd1[0], trace1[0], r_stop
+        )
+        live = jnp.any(labels == 0) if self.cfg.sticky_convergence else jnp.any(labels >= 0)
+        return boxes, idx, labels, rnd.reshape(1), trace[None], live.reshape(1)
+
+    def _core_post_shard(self, final_boxes, final_idx, labels, rnd1, trace1, stats):
+        return self._core_post(final_boxes, final_idx, labels, rnd1[0], trace1[0], stats)
+
+    def _discover_segmented_sharded(self, canvases, hw, boxes, idx, valid):
+        """Multi-device segmented discovery: the sharded pre/segment/post
+        programs with a host-driven round loop. Devices advance in
+        lockstep r_stop caps; a drained device's while_loop exits
+        instantly, so stragglers only cost empty dispatches."""
+        c = self.cfg
+        D = self.n_devices
+        v = self.variables
+        act_boxes, act_idx, act_valid, stats = self._pre_sharded(
+            v, canvases, hw, boxes, idx, valid
+        )
+        labels = jnp.where(act_valid, 0.0, -1.0)
+        rnd = jnp.zeros((D,), jnp.int32)
+        trace = jnp.zeros((D, c.n_round), jnp.int32)
+        state = (act_boxes, act_idx, labels, rnd, trace)
+        for r_stop in range(c.boundary_segment, c.n_round + c.boundary_segment, c.boundary_segment):
+            r_stop = min(r_stop, c.n_round)
+            *state, live = self._seg_sharded(v, canvases, hw, *state, jnp.int32(r_stop))
+            state = tuple(state)
+            if not bool(np.any(np.asarray(live))) or r_stop >= c.n_round:
+                break
+        return self._post_sharded(state[0], state[1], state[2], state[3], state[4], stats)
+
     def _discover_segmented(self, canvases, hw, boxes, idx, valid):
         """Single-device discovery with the boundary evolution split
         into host-driven segments of cfg.boundary_segment rounds each —
@@ -798,7 +862,10 @@ class ObjectDiscoveryEngine:
             jnp.asarray(valid_np),
         )
         if self._core_sharded is not None:
-            out = jax.device_get(self._core_sharded(self.variables, *args))
+            if c.boundary_segment > 0:
+                out = jax.device_get(self._discover_segmented_sharded(*args))
+            else:
+                out = jax.device_get(self._core_sharded(self.variables, *args))
         elif c.boundary_segment > 0:
             out = jax.device_get(self._discover_segmented(*args))
         else:
