@@ -80,3 +80,35 @@ def test_preprocess_votecut_top1_and_full(tmp_path):
             assert (png[12:15, 12:15] == 0).all()  # smaller component dropped
         else:
             assert set(np.unique(png)) == {0, 1, 2}
+
+
+def test_vis_votecut_writes_id_masks_and_previews(tmp_path):
+    # counterpart of reference utils/vis_votecut.py: instance-id PNGs
+    # (densified ids) + hue-colorized previews from a votecut JSON
+    import importlib.util
+    import cv2
+    import json as _json
+    import numpy as _np
+
+    from unmore_tpu.utils import rle as _rle
+
+    m1 = _np.zeros((40, 50), _np.uint8); m1[5:20, 5:25] = 1
+    m2 = _np.zeros((40, 50), _np.uint8); m2[25:38, 30:48] = 1
+    data = {
+        "images": [{"id": 1, "file_name": "n001/a.JPEG", "height": 40, "width": 50}],
+        "annotations": [
+            {"id": 10, "image_id": 1, "segmentation": _rle.encode(m1), "weight": 0.9},
+            {"id": 11, "image_id": 1, "segmentation": _rle.encode(m2), "weight": 0.5},
+        ],
+    }
+    jp = tmp_path / "votecut.json"
+    jp.write_text(_json.dumps(data))
+    path = os.path.join(os.path.dirname(__file__), "..", "utils", "vis_votecut.py")
+    spec = importlib.util.spec_from_file_location("vvc_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(["--votecut_json", str(jp), "--out_dir", str(tmp_path / "out")])
+    mask = cv2.imread(str(tmp_path / "out" / "masks" / "n001" / "a.png"), cv2.IMREAD_GRAYSCALE)
+    assert set(_np.unique(mask)) == {0, 1, 2}
+    vis = cv2.imread(str(tmp_path / "out" / "masks_vis" / "n001" / "a.png"))
+    assert vis is not None and vis.max() > 0

@@ -32,6 +32,31 @@ def sdf_to_rgb(sdf: np.ndarray) -> np.ndarray:
     return img
 
 
+def get_mask_plot_colors(nr_colors: int) -> np.ndarray:
+    """nr_colors uniformly spaced hues (reference utils/vis.py:11-16 /
+    vis_votecut.py:10-15), as float RGB in [0, 1]."""
+    import colorsys
+
+    return np.array(
+        [colorsys.hsv_to_rgb(h, 1.0, 1.0) for h in np.linspace(0, 1, max(nr_colors, 1), endpoint=False)],
+        np.float32,
+    )
+
+
+def vis_label_map(labels: np.ndarray) -> np.ndarray:
+    """Integer instance-label map -> hue-colorized uint8 RGB (label 0 =
+    black) — the reference's ``vis_GT_gray``/``vis_gray``
+    (utils/vis.py:20-35, vis_votecut.py:17-30)."""
+    labels = np.asarray(labels)
+    ids = np.unique(labels)
+    ids = ids[ids != 0]
+    cmap = get_mask_plot_colors(len(ids))
+    out = np.zeros((*labels.shape, 3), np.float32)
+    for i, lab in enumerate(ids):
+        out[labels == lab] = cmap[i]
+    return (out * 255).astype(np.uint8)
+
+
 def gray(m: np.ndarray) -> np.ndarray:
     m = np.asarray(m, np.float32)
     lo, hi = m.min(), m.max()
