@@ -129,6 +129,8 @@ class ReasoningConfig:
         tail = min(self.crop_chunk_tail, self.crop_chunk)
         if self.crop_chunk % tail:
             raise ValueError("crop_chunk must be a multiple of crop_chunk_tail")
+        if self.boundary_segment < 0:
+            raise ValueError("boundary_segment must be >= 0 (0 = fused)")
         if self.exist_chunk < self.crop_chunk:
             import warnings
 
