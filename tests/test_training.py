@@ -167,3 +167,50 @@ def test_existence_sampling():
         pos_seen |= label == 1.0
         neg_seen |= label == 0.0
     assert pos_seen and neg_seen
+
+
+def test_spike_guard_skips_exploding_batches():
+    # a batch whose loss exceeds skip_loss_above must leave params and
+    # optimizer state untouched (one such step destroyed a run; STATUS)
+    import jax
+    import jax.numpy as jnp
+
+    from unmore_tpu.config import ModelConfig, OptimConfig, TrainObjectnessConfig
+    from unmore_tpu.models.objectness import ObjectnessNet
+    from unmore_tpu.models.vit import ViTConfig
+    from unmore_tpu.train.objectness import init_state, make_optimizer, make_train_step
+
+    cfg = TrainObjectnessConfig(
+        model=ModelConfig(image_size=32), optim=OptimConfig(), skip_loss_above=100.0
+    )
+    model = ObjectnessNet(
+        backbone_type="dpt_base", features=8,
+        vit_config=ViTConfig(depth=1, dim=16, heads=2, mlp_dim=32, pretrain_grid=2),
+        hooks=(0, 0, 0, 0), widths=(8, 8, 8, 8),
+    )
+    tx = make_optimizer(cfg.optim)
+    state = init_state(model, tx, jax.random.PRNGKey(0), image_size=32)
+    step = make_train_step(model, tx, cfg)
+    good = {
+        "image": jnp.zeros((2, 32, 32, 3)),
+        "center_field": jnp.zeros((2, 32, 32, 2)),
+        "sdf": jnp.zeros((2, 32, 32)),
+        "saliency_mask": jnp.ones((2, 32, 32)) * 0.5,
+    }
+    # absurd targets -> loss way beyond the ceiling
+    bad = dict(good, sdf=jnp.full((2, 32, 32), 1e4))
+    p0 = jax.device_get(state.params)
+    state_bad, m_bad = step(state, bad)
+    assert float(m_bad["skipped"]) == 1.0
+    p_bad = jax.device_get(state_bad.params)
+    flat0 = jax.tree_util.tree_leaves(p0)
+    flatb = jax.tree_util.tree_leaves(p_bad)
+    for a, b in zip(flat0, flatb):
+        np.testing.assert_array_equal(a, b)
+    assert int(state_bad.step) == 1  # the step counter still advances
+    state_good, m_good = step(state_bad, good)
+    assert float(m_good["skipped"]) == 0.0
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(flatb, jax.tree_util.tree_leaves(jax.device_get(state_good.params)))
+    )

@@ -211,6 +211,7 @@ def train_center_and_boundary(args):
 
     tb = EventWriter(os.path.join(result_folder, "tb"))
     loss_acc = None  # device-side scalar; pulled to host once per log window
+    skip_acc = None  # spike-guard skip counter (same device-side treatment)
     host_batch = None
     t0 = time.time()
     for iteration in range(start_iter, args.train_iter + 1):
@@ -220,6 +221,8 @@ def train_center_and_boundary(args):
         # accumulate on device: a per-step float() pull would force a
         # host sync every step (VERDICT round-2 item 7)
         loss_acc = metrics["total"] if loss_acc is None else loss_acc + metrics["total"]
+        skip_acc = metrics["skipped"] + (0.0 if skip_acc is None else skip_acc) \
+            if "skipped" in metrics else skip_acc
         step_no = iteration + 1
         if step_no % args.save_ckpt_every == 0:
             path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
@@ -252,6 +255,8 @@ def train_center_and_boundary(args):
             n = step_no - start_iter if step_no - start_iter < args.log_every else args.log_every
             avg = float(loss_acc) / max(n, 1)
             loss_acc = None
+            n_skipped = int(skip_acc) if skip_acc is not None else 0
+            skip_acc = None
             dt = time.time() - t0
             rate = args.log_every / dt
             t0 = time.time()
@@ -259,10 +264,11 @@ def train_center_and_boundary(args):
             tb.add_scalar("total_loss", avg, step_no)
             tb.add_scalar("imgs_per_sec", rate * args.batch_size, step_no)
             tb.flush()
+            skip_note = f", {n_skipped} spike-skipped" if n_skipped else ""
             print(
                 f"iter {step_no} loss {avg:.4f} ({rate:.2f} it/s, "
                 f"{rate * args.batch_size:.1f} imgs/s, "
-                f"data-starved {prefetch.starved_fraction:.1%})",
+                f"data-starved {prefetch.starved_fraction:.1%}{skip_note})",
                 flush=True,
             )
     ckpt_writer.wait()

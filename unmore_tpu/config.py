@@ -69,6 +69,14 @@ class TrainObjectnessConfig:
     # data
     random_crop_scale_min: float = 0.08
     random_crop_scale_max: float = 1.0
+    # fault tolerance: skip the parameter update when the batch loss is
+    # non-finite or above this ceiling (a single corrupted batch /
+    # transient device fault at lr 1e-4 permanently damaged a round-3
+    # run: loss 0.60 -> 5300 at one step, fields never recovered —
+    # STATUS.md). Warmup losses peak ~110, spikes observed at 5000+;
+    # 0 disables. The reference's CAD loop has the analogous NaN-skip
+    # (train_loop.py:280-284); its stage 1 has no protection.
+    skip_loss_above: float = 1000.0
 
     def __post_init__(self):
         if isinstance(self.model, dict):

@@ -127,6 +127,18 @@ def make_train_step(model, tx, cfg: TrainObjectnessConfig, mesh: Mesh | None = N
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if cfg.skip_loss_above > 0:
+            # spike guard: a non-finite or exploding batch loss must not
+            # touch the weights (one such step destroyed a training run;
+            # see TrainObjectnessConfig.skip_loss_above)
+            ok = jnp.isfinite(losses["total"]) & (losses["total"] < cfg.skip_loss_above)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), opt_state, state.opt_state
+            )
+            losses = dict(losses, skipped=(~ok).astype(jnp.float32))
         return state.replace(step=state.step + 1, params=params, opt_state=opt_state), losses
 
     if mesh is None:
