@@ -212,6 +212,7 @@ def train_center_and_boundary(args):
     tb = EventWriter(os.path.join(result_folder, "tb"))
     loss_acc = None  # device-side scalar; pulled to host once per log window
     skip_acc = None  # spike-guard skip counter (same device-side treatment)
+    full_skip_windows = 0  # consecutive 100%-skipped windows -> fatal
     host_batch = None
     t0 = time.time()
     for iteration in range(start_iter, args.train_iter + 1):
@@ -271,6 +272,25 @@ def train_center_and_boundary(args):
                 f"data-starved {prefetch.starved_fraction:.1%}{skip_note})",
                 flush=True,
             )
+            # persistent 100%-skip windows = the input path is returning
+            # garbage (observed: the relay transfer channel corrupts
+            # after ~35-50 min of sustained traffic — every batch then
+            # computes the same huge loss). The guard has kept the
+            # weights clean; save them and exit(3) so a retry wrapper
+            # resumes in a FRESH process (fresh device channel).
+            full_skip_windows = full_skip_windows + 1 if n_skipped >= n else 0
+            if full_skip_windows >= 2:
+                path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
+                ckpt_writer.save(path, state)
+                ckpt_writer.wait()
+                prefetch.close()
+                print(
+                    f"FATAL: {full_skip_windows} consecutive fully-skipped "
+                    f"log windows — input corruption. Saved last-good "
+                    f"weights to {path}; restart with --resume to continue.",
+                    flush=True,
+                )
+                sys.exit(3)
     ckpt_writer.wait()
     prefetch.close()
 
