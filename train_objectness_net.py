@@ -272,22 +272,23 @@ def train_center_and_boundary(args):
                 f"data-starved {prefetch.starved_fraction:.1%}{skip_note})",
                 flush=True,
             )
-            # persistent 100%-skip windows = the input path is returning
-            # garbage (observed: the relay transfer channel corrupts
-            # after ~35-50 min of sustained traffic — every batch then
-            # computes the same huge loss). The guard has kept the
-            # weights clean; save them and exit(3) so a retry wrapper
-            # resumes in a FRESH process (fresh device channel).
+            # persistent 100%-skip windows = silent device-side
+            # corruption (observed twice: after ~35-50 min of sustained
+            # relay traffic every batch computes the same huge loss —
+            # weights in HBM and/or transfers are corrupt, and a
+            # checkpoint written now scores 0 AP). NOTHING leaving this
+            # process is trustworthy anymore: do NOT save; exit(3) so a
+            # retry wrapper resumes from the last periodic checkpoint
+            # in a fresh process.
             full_skip_windows = full_skip_windows + 1 if n_skipped >= n else 0
             if full_skip_windows >= 2:
-                path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
-                ckpt_writer.save(path, state)
-                ckpt_writer.wait()
                 prefetch.close()
                 print(
                     f"FATAL: {full_skip_windows} consecutive fully-skipped "
-                    f"log windows — input corruption. Saved last-good "
-                    f"weights to {path}; restart with --resume to continue.",
+                    f"log windows at iter {step_no} — silent device "
+                    f"corruption. NOT saving (state untrustworthy); "
+                    f"restart with --resume from the last periodic "
+                    f"checkpoint.",
                     flush=True,
                 )
                 sys.exit(3)
