@@ -131,18 +131,8 @@ def test_cad_cli_train_eval_resume(tmp_path):
     assert os.path.isfile(os.path.join(out_dir, "model_0000002.ckpt"))
 
     # eval-only path reuses the same weights; TEST.EXPECTED_RESULTS gates
-    # the run on AP (reference verify_results, cad/train_net.py:150-151):
-    # an unmeetable floor must raise, a permissive one must pass
-    import pytest as _pytest
-
-    with _pytest.raises(AssertionError):
-        cli.main([
-            "--config-file", cfg_path, "--canvas-size", "64", "--eval-bs", "8",
-            "--eval-only",
-            "--test-json", json_path, "--test-image-dir", img_dir,
-            "MODEL.WEIGHTS", os.path.join(out_dir, "model_0000004.ckpt"),
-            "TEST.EXPECTED_RESULTS", "[['bbox', 'AP50', 99.0, 0.01]]",
-        ])
+    # the run on AP (reference verify_results, cad/train_net.py:150-151;
+    # the raising path is unit-tested in test_verify_results_semantics)
     cli.main([
         "--config-file", cfg_path, "--canvas-size", "64", "--eval-bs", "8",
         "--eval-only",
