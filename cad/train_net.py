@@ -417,6 +417,7 @@ def main(argv=None):
             total = line.get("total", 0.0)
             bad_windows = bad_windows + 1 if (not np.isfinite(total) or total > 1e3) else 0
             if bad_windows >= 2:
+                it.close()  # join prefetch workers (C++-call-at-exit abort)
                 print(
                     f"FATAL: {bad_windows} consecutive corrupt loss windows "
                     f"at iter {step_no} (total={total}); NOT saving — "

@@ -303,7 +303,11 @@ def _existence_batch_worker(args, worker_seed):
     import os as _os
 
     from unmore_tpu.data.existence import classifier_sample
-    from unmore_tpu.data.votecut import VoteCutObjectnessDataset, load_image_mask_pair
+    from unmore_tpu.data.votecut import (
+        VoteCutObjectnessDataset,
+        load_image_mask_pair,
+        load_mask,
+    )
 
     index = VoteCutObjectnessDataset(
         args.imagenet_dir, args.votecut_mask_dir, args.image_size, seed=worker_seed
@@ -320,10 +324,13 @@ def _existence_batch_worker(args, worker_seed):
             )
             if image is None:
                 continue
-            full_path = _os.path.join(full_mask_dir, name.replace(".JPEG", ".png"))
-            _, full = load_image_mask_pair(
-                _os.path.join(args.imagenet_dir, name.replace(".png", ".JPEG")), full_path
-            )
+            if full_mask_dir == args.votecut_mask_dir:
+                full = top1  # same file — skip the redundant decode
+            else:
+                full = load_mask(
+                    _os.path.join(full_mask_dir, name.replace(".JPEG", ".png")),
+                    image.shape[:2],
+                )
             if full is None:
                 full = top1
             return classifier_sample(image, top1, full, args.image_size, rng)
@@ -368,6 +375,7 @@ def train_existence(args):
         state = load_checkpoint(args.resume, target=state)
         start_iter = int(state.step)
     eval_step = make_eval_step(model)
+    eval_draw_holder: list = []  # lazily-built, reused across evals
 
     def evaluate_classification(state, step_no, result_folder):
         """Accuracy at 0.5 on freshly drawn samples + eval_log.json +
@@ -377,7 +385,12 @@ def train_existence(args):
         # pull weights once per evaluation, not once per batch
         params = jax.device_get(state.params)
         batch_stats = jax.device_get(state.batch_stats)
-        draw = _existence_batch_worker(args, args.seed + 99991)
+        # build the eval sampler ONCE (its dataset index walks the whole
+        # mask directory tree; rebuilding per periodic eval would redo
+        # that scan every 5000 iters)
+        if not eval_draw_holder:
+            eval_draw_holder.append(_existence_batch_worker(args, args.seed + 99991))
+        draw = eval_draw_holder[0]
         hits = total = 0.0
         for b_idx in range(max(1, args.test_batch_size // args.batch_size * 4)):
             eb = draw()

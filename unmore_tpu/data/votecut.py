@@ -135,6 +135,19 @@ def synthesize_labels(
     )
 
 
+def load_mask(mask_path: str, image_hw) -> np.ndarray | None:
+    """Mask-only load with the reference conventions (datasets.py:
+    114-131): rotate 90° CW on shape mismatch, dual binarization."""
+    gray = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
+    if gray is None:
+        return None
+    if gray.shape[:2] != tuple(image_hw):
+        gray = cv2.rotate(gray, cv2.ROTATE_90_CLOCKWISE)
+    if gray.max() > 128:
+        return (gray > 0).astype(np.uint8)
+    return (gray == 1).astype(np.uint8)
+
+
 def load_image_mask_pair(image_path: str, mask_path: str):
     """Reference loading conventions (datasets.py:114-131): BGR->RGB,
     rotate the mask 90° CW on shape mismatch, dual binarization rule."""
@@ -142,15 +155,9 @@ def load_image_mask_pair(image_path: str, mask_path: str):
     if bgr is None:
         return None, None
     image = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-    gray = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
-    if gray is None:
+    mask = load_mask(mask_path, image.shape[:2])
+    if mask is None:
         return None, None
-    if gray.shape[:2] != image.shape[:2]:
-        gray = cv2.rotate(gray, cv2.ROTATE_90_CLOCKWISE)
-    if gray.max() > 128:
-        mask = (gray > 0).astype(np.uint8)
-    else:
-        mask = (gray == 1).astype(np.uint8)
     return image, mask
 
 

@@ -148,8 +148,13 @@ class ObjectScoringEngine:
         K = -(-max(max(group_tot), 1) // c.slot_multiple) * c.slot_multiple
 
         use_u8 = all(im.dtype == np.uint8 for im in images)
+        # single-device: no sharding constraint on the canvas count, so
+        # only ship as many canvases as there are images (score_image
+        # callers would otherwise upload image_batch-1 blank 640^2
+        # canvases per call through the relay)
+        n_canvas = n_img if D == 1 else B * D
         canvases = np.zeros(
-            (B * D, c.canvas_size, c.canvas_size, 3),
+            (n_canvas, c.canvas_size, c.canvas_size, 3),
             np.uint8 if use_u8 else np.float32,
         )
         lat_boxes = np.zeros((K * D, 4), np.float32)

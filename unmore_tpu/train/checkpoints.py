@@ -17,10 +17,16 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, tree) -> None:
+    """Atomic write: temp file + rename, so a crash / fail-fast exit
+    mid-write (the async writer pulls for minutes through the relay)
+    can never leave a truncated file under the final name — a truncated
+    newest checkpoint would otherwise break every --resume attempt."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     host_tree = jax.device_get(serialization.to_state_dict(tree))
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(host_tree))
+    os.replace(tmp, path)
 
 
 class AsyncCheckpointer:
