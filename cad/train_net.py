@@ -403,28 +403,29 @@ def main(argv=None):
 
         tb = EventWriter(os.path.join(out_dir, "tb"))
     t0 = time.time()
-    bad_windows = 0  # consecutive corrupt log windows -> fail fast
+    from unmore_tpu.train.resilience import FATAL_EXIT_CODE, CorruptionDetector
+
+    detector = CorruptionDetector()
     for it_no in range(int(state.step), solver["max_iter"]):
         state, losses = step_fn(state, next_global_batch())
         step_no = it_no + 1
         if step_no % 20 == 0:
             line = {k: round(float(v), 4) for k, v in losses.items()}
             # silent device corruption shows as persistent non-finite /
-            # absurd losses (stage-1 post-mortem in STATUS.md); after
-            # onset neither the weights nor a checkpoint pull can be
-            # trusted — exit(3) WITHOUT saving so a retry wrapper
-            # resumes from the last periodic checkpoint afresh
+            # absurd losses (STATUS.md post-mortem); after onset neither
+            # the weights nor a checkpoint pull can be trusted —
+            # exit WITHOUT saving so a retry wrapper resumes from the
+            # last periodic checkpoint afresh
             total = line.get("total", 0.0)
-            bad_windows = bad_windows + 1 if (not np.isfinite(total) or total > 1e3) else 0
-            if bad_windows >= 2:
+            if detector.update(detector.loss_window_corrupt(total)):
                 it.close()  # join prefetch workers (C++-call-at-exit abort)
                 print(
-                    f"FATAL: {bad_windows} consecutive corrupt loss windows "
-                    f"at iter {step_no} (total={total}); NOT saving — "
+                    f"FATAL: {detector.consecutive} consecutive corrupt loss "
+                    f"windows at iter {step_no} (total={total}); NOT saving — "
                     f"restart with --resume.",
                     flush=True,
                 )
-                sys.exit(3)
+                sys.exit(FATAL_EXIT_CODE)
             line["iteration"] = step_no
             line["ips"] = round(20 * solver["ims_per_batch"] / (time.time() - t0), 2)
             line["data_starved"] = round(it.starved_fraction, 3)

@@ -121,3 +121,18 @@ def test_visualization_dump(tmp_path):
     files = os.listdir(out)
     assert len(files) == 8
     assert all(f.startswith("iter100_s0_") and f.endswith(".png") for f in files)
+
+
+def test_corruption_detector_semantics():
+    from unmore_tpu.train.resilience import FATAL_EXIT_CODE, CorruptionDetector
+
+    assert FATAL_EXIT_CODE == 3
+    d = CorruptionDetector()
+    assert not d.update(True)   # one bad window: not fatal yet
+    assert not d.update(False)  # healthy window resets
+    assert not d.update(True)
+    assert d.update(True)       # two consecutive -> fatal
+    assert d.loss_window_corrupt(float("nan"))
+    assert d.loss_window_corrupt(float("inf"))
+    assert d.loss_window_corrupt(5300.0)
+    assert not d.loss_window_corrupt(108.0)  # warmup-scale losses pass

@@ -210,9 +210,11 @@ def train_center_and_boundary(args):
     from unmore_tpu.utils.tensorboard import EventWriter
 
     tb = EventWriter(os.path.join(result_folder, "tb"))
+    from unmore_tpu.train.resilience import CorruptionDetector
+
     loss_acc = None  # device-side scalar; pulled to host once per log window
     skip_acc = None  # spike-guard skip counter (same device-side treatment)
-    full_skip_windows = 0  # consecutive 100%-skipped windows -> fatal
+    detector = CorruptionDetector()  # consecutive 100%-skipped windows -> fatal
     host_batch = None
     t0 = time.time()
     for iteration in range(start_iter, args.train_iter + 1):
@@ -277,21 +279,22 @@ def train_center_and_boundary(args):
             # relay traffic every batch computes the same huge loss —
             # weights in HBM and/or transfers are corrupt, and a
             # checkpoint written now scores 0 AP). NOTHING leaving this
-            # process is trustworthy anymore: do NOT save; exit(3) so a
+            # process is trustworthy anymore: do NOT save; exit so a
             # retry wrapper resumes from the last periodic checkpoint
-            # in a fresh process.
-            full_skip_windows = full_skip_windows + 1 if n_skipped >= n else 0
-            if full_skip_windows >= 2:
+            # in a fresh process (unmore_tpu/train/resilience.py).
+            if detector.update(n_skipped >= n):
                 prefetch.close()
                 print(
-                    f"FATAL: {full_skip_windows} consecutive fully-skipped "
-                    f"log windows at iter {step_no} — silent device "
-                    f"corruption. NOT saving (state untrustworthy); "
-                    f"restart with --resume from the last periodic "
-                    f"checkpoint.",
+                    f"FATAL: {detector.consecutive} consecutive fully-"
+                    f"skipped log windows at iter {step_no} — silent "
+                    f"device corruption. NOT saving (state "
+                    f"untrustworthy); restart with --resume from the "
+                    f"last periodic checkpoint.",
                     flush=True,
                 )
-                sys.exit(3)
+                from unmore_tpu.train.resilience import FATAL_EXIT_CODE
+
+                sys.exit(FATAL_EXIT_CODE)
     ckpt_writer.wait()
     prefetch.close()
 
