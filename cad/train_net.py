@@ -53,6 +53,12 @@ def parse_args(argv=None):
     p.add_argument("--train-workers", type=int, default=4,
                    help="training prefetch workers (decode + copy-paste); "
                         "raise on many-core hosts if data_starved grows")
+    p.add_argument("--max-restarts", type=int, default=0,
+                   help="supervise the run: relaunch with --resume up to N "
+                        "times on corruption fail-fast (exit 3) or crashes")
+    p.add_argument("--corrupt-loss-ceiling", type=float, default=1e3,
+                   help="finite loss above this (post-warmup) counts as a "
+                        "corrupt log window for the fail-fast detector")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args(argv)
 
@@ -194,6 +200,25 @@ def find_last_checkpoint(out_dir: str) -> str | None:
 def main(argv=None):
     args = parse_args(argv)
 
+    if args.max_restarts > 0:
+        # supervisor mode: re-invoke this CLI single-shot; restarted
+        # attempts add --resume so training continues from the newest
+        # checkpoint in OUTPUT_DIR (find_last_checkpoint). Completes
+        # the fail-fast contract of unmore_tpu/train/resilience.py.
+        from unmore_tpu.train.supervisor import child_argv, supervise
+
+        raw = list(argv) if argv is not None else sys.argv[1:]
+        base = child_argv(os.path.abspath(__file__), raw, "--max-restarts")
+
+        def build(attempt):
+            if attempt and "--resume" not in base:
+                # opts is a REMAINDER arg: flags must go before it
+                i = len(base) - len(args.opts)
+                return base[:i] + ["--resume"] + base[i:]
+            return base
+
+        sys.exit(supervise(build, args.max_restarts))
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
@@ -254,9 +279,16 @@ def main(argv=None):
             return resolve_dataset(args.test_dataset, args.data_root)
         return args.test_image_dir, args.test_json
 
-    def run_eval(state, tag: str):
+    def run_eval(state, tag: str, verify: bool = False):
         """Evaluate the current weights on the test set; images are
-        sharded across hosts, predictions gathered to process 0."""
+        sharded across hosts, predictions gathered to process 0.
+
+        ``verify`` gates TEST.EXPECTED_RESULTS enforcement: the
+        reference only verifies on the eval-only path (its
+        ``cad/train_net.py:150-151``), so mid-training periodic evals
+        here just log metrics — a below-target AP early in training
+        must not abort the run (and in multi-host runs a main-process
+        raise would leave workers blocked on the next collective)."""
         from unmore_tpu.data.coco import COCOImages
 
         test_image_dir, test_json = resolve_test_set()
@@ -327,11 +359,12 @@ def main(argv=None):
         with open(os.path.join(out_dir, f"metrics_{tag}.json"), "w") as f:
             json.dump(metrics, f, indent=2)
         print(json.dumps(metrics, indent=2))
-        verify_results(cfg_yaml, metrics)
+        if verify:
+            verify_results(cfg_yaml, metrics)
         return metrics
 
     if args.eval_only:
-        run_eval(state, "eval_only")
+        run_eval(state, "eval_only", verify=True)
         return
 
     assert args.train_json, "--train-json required for training"
@@ -403,7 +436,12 @@ def main(argv=None):
 
         tb = EventWriter(os.path.join(out_dir, "tb"))
     t0 = time.time()
-    from unmore_tpu.train.resilience import FATAL_EXIT_CODE, CorruptionDetector
+    from unmore_tpu.train.resilience import (
+        FATAL_EXIT_CODE,
+        CorruptionDetector,
+        fault_injection_active,
+        mark_fault_injected,
+    )
 
     detector = CorruptionDetector()
     for it_no in range(int(state.step), solver["max_iter"]):
@@ -415,10 +453,16 @@ def main(argv=None):
             # absurd losses (STATUS.md post-mortem); after onset neither
             # the weights nor a checkpoint pull can be trusted —
             # exit WITHOUT saving so a retry wrapper resumes from the
-            # last periodic checkpoint afresh
+            # last periodic checkpoint afresh. During LR warmup a large
+            # finite loss is normal — only non-finite counts then.
             total = line.get("total", 0.0)
-            if detector.update(detector.loss_window_corrupt(total)):
+            corrupt = detector.loss_window_corrupt(
+                total, ceiling=args.corrupt_loss_ceiling,
+                in_warmup=step_no <= solver["warmup_iters"],
+            ) or fault_injection_active(step_no)
+            if detector.update(corrupt):
                 it.close()  # join prefetch workers (C++-call-at-exit abort)
+                mark_fault_injected()
                 print(
                     f"FATAL: {detector.consecutive} consecutive corrupt loss "
                     f"windows at iter {step_no} (total={total}); NOT saving — "
@@ -437,13 +481,20 @@ def main(argv=None):
                 tb.flush()
             print(line, flush=True)
         if step_no % solver["checkpoint_period"] == 0 or step_no == solver["max_iter"]:
-            if dist.is_main():
-                ckpt_writer.save(os.path.join(out_dir, f"model_{step_no:07d}.ckpt"), state)
-                print(f"* saved checkpoint at iter {step_no}")
-            dist.barrier("ckpt")
+            if detector.last_window_corrupt:
+                # the window before this save already looked corrupt: a
+                # checkpoint now would snapshot suspect state, and the
+                # retry wrapper's "--resume from last checkpoint" must
+                # never resume INTO the corruption it is escaping
+                print(f"* skipping checkpoint at iter {step_no} (last loss window corrupt)")
+            else:
+                if dist.is_main():
+                    ckpt_writer.save(os.path.join(out_dir, f"model_{step_no:07d}.ckpt"), state)
+                    print(f"* saved checkpoint at iter {step_no}")
+                dist.barrier("ckpt")
         if solver["eval_period"] and (step_no % solver["eval_period"] == 0 or step_no == solver["max_iter"]):
             eval_state = maybe_precise_bn(state)
-            run_eval(eval_state, f"iter_{step_no:07d}")
+            run_eval(eval_state, f"iter_{step_no:07d}", verify=step_no == solver["max_iter"])
             t0 = time.time()
     ckpt_writer.wait()
 

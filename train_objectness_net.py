@@ -64,7 +64,38 @@ def parse_args(argv=None):
     p.add_argument("--votecut_mask_dir", type=str, default=None, help="masks_top1_single_component root")
     p.add_argument("--votecut_full_mask_dir", type=str, default=None, help="full votecut masks (existence bg crops)")
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--max_restarts", type=int, default=0,
+                   help="supervise the run: relaunch with --resume from the "
+                        "newest checkpoint up to N times on corruption "
+                        "fail-fast (exit 3) or crashes")
+    p.add_argument("--skip_loss_above", type=float, default=1000.0,
+                   help="spike guard: skip the update when the batch loss "
+                        "exceeds this (non-finite always skips; 0 disables)")
     return p.parse_args(argv)
+
+
+def _run_dir_of_ckpt(ckpt_path: str) -> str:
+    """Run directory a checkpoint belongs to (…/<run>/ckpt/iter_N_model.ckpt
+    -> …/<run>). Checkpoints outside the run-dir layout fall back to
+    their containing directory instead of crashing os.makedirs."""
+    if "/ckpt/" in ckpt_path:
+        return ckpt_path.split("/ckpt/")[0]
+    return os.path.dirname(os.path.abspath(ckpt_path))
+
+
+def find_last_stage1_checkpoint(run_dir: str) -> str | None:
+    """Newest ckpt/iter_N_model.ckpt under a stage-1 run directory."""
+    import re
+
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    best, best_iter = None, -1
+    if not os.path.isdir(ckpt_dir):
+        return None
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"iter_(\d+)_model\.ckpt", name)
+        if m and int(m.group(1)) > best_iter:
+            best, best_iter = os.path.join(ckpt_dir, name), int(m.group(1))
+    return best
 
 
 def _make_run_dir(args, mode: str):
@@ -127,6 +158,7 @@ def train_center_and_boundary(args):
         use_sdf_binary_mask_loss=args.use_sdf_binary_mask_loss,
         random_crop_scale_min=args.random_crop_scale_min,
         random_crop_scale_max=args.random_crop_scale_max,
+        skip_loss_above=args.skip_loss_above,
     )
 
     model = ObjectnessNet(
@@ -152,7 +184,7 @@ def train_center_and_boundary(args):
         from unmore_tpu.data.votecut import VoteCutObjectnessDataset
         from unmore_tpu.utils.vis import dump_objectness_diagnostics
 
-        eval_folder = os.path.join(args.resume.split("/ckpt/")[0], "evaluation")
+        eval_folder = os.path.join(_run_dir_of_ckpt(args.resume), "evaluation")
         os.makedirs(eval_folder, exist_ok=True)
         ds = VoteCutObjectnessDataset(
             args.imagenet_dir, args.votecut_mask_dir, args.image_size, args.use_bg_sdf,
@@ -210,7 +242,11 @@ def train_center_and_boundary(args):
     from unmore_tpu.utils.tensorboard import EventWriter
 
     tb = EventWriter(os.path.join(result_folder, "tb"))
-    from unmore_tpu.train.resilience import CorruptionDetector
+    from unmore_tpu.train.resilience import (
+        CorruptionDetector,
+        fault_injection_active,
+        mark_fault_injected,
+    )
 
     loss_acc = None  # device-side scalar; pulled to host once per log window
     skip_acc = None  # spike-guard skip counter (same device-side treatment)
@@ -228,9 +264,15 @@ def train_center_and_boundary(args):
             if "skipped" in metrics else skip_acc
         step_no = iteration + 1
         if step_no % args.save_ckpt_every == 0:
-            path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
-            ckpt_writer.save(path, state)
-            print(f"* saved checkpoint {path}")
+            if detector.last_window_corrupt:
+                # last window was fully spike-skipped: state may already
+                # be poisoned, and the supervisor's resume must never
+                # land on a checkpoint written inside the incident
+                print(f"* skipping checkpoint at iter {step_no} (last window corrupt)")
+            else:
+                path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
+                ckpt_writer.save(path, state)
+                print(f"* saved checkpoint {path}")
         if step_no % args.visualize_every == 0:
             from unmore_tpu.utils.vis import dump_objectness_diagnostics
             import jax as _jax
@@ -282,8 +324,9 @@ def train_center_and_boundary(args):
             # process is trustworthy anymore: do NOT save; exit so a
             # retry wrapper resumes from the last periodic checkpoint
             # in a fresh process (unmore_tpu/train/resilience.py).
-            if detector.update(n_skipped >= n):
+            if detector.update(n_skipped >= n or fault_injection_active(step_no)):
                 prefetch.close()
+                mark_fault_injected()
                 print(
                     f"FATAL: {detector.consecutive} consecutive fully-"
                     f"skipped log windows at iter {step_no} — silent "
@@ -426,7 +469,7 @@ def train_existence(args):
         # evaluate-and-exit into <resumed_run>/evaluation (reference
         # train_objectness_net.py:632-636)
         assert args.resume, "--eval_mode requires --resume"
-        result_folder = os.path.join(args.resume.split("/ckpt/")[0], "evaluation")
+        result_folder = os.path.join(_run_dir_of_ckpt(args.resume), "evaluation")
         os.makedirs(result_folder, exist_ok=True)
         evaluate_classification(state, start_iter, result_folder)
         print("Finish evaluation")
@@ -447,6 +490,13 @@ def train_existence(args):
     )
 
     ckpt_writer = AsyncCheckpointer()
+    from unmore_tpu.train.resilience import (
+        CorruptionDetector,
+        fault_injection_active,
+        mark_fault_injected,
+    )
+
+    detector = CorruptionDetector()
     loss_acc = None  # device-side scalar; pulled once per log window
     t0 = time.time()
     for iteration in range(start_iter, args.train_iter + 1):
@@ -455,9 +505,12 @@ def train_existence(args):
         loss_acc = metrics["loss"] if loss_acc is None else loss_acc + metrics["loss"]
         step_no = iteration + 1
         if step_no % args.save_ckpt_every == 0:
-            path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
-            ckpt_writer.save(path, state)
-            print(f"* saved checkpoint {path}")
+            if detector.last_window_corrupt:
+                print(f"* skipping checkpoint at iter {step_no} (last window corrupt)")
+            else:
+                path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
+                ckpt_writer.save(path, state)
+                print(f"* saved checkpoint {path}")
         if step_no % args.evaluate_every == 0:
             evaluate_classification(state, step_no, result_folder)
         if step_no % args.log_every == 0:
@@ -473,12 +526,60 @@ def train_existence(args):
                 f"data-starved {prefetch.starved_fraction:.1%})",
                 flush=True,
             )
+            # same fail-fast contract as the objectness trainer: a BCE
+            # loss that is non-finite (or absurd) for consecutive
+            # windows means the device channel is corrupt
+            corrupt = detector.loss_window_corrupt(avg) or fault_injection_active(step_no)
+            if detector.update(corrupt):
+                prefetch.close()
+                mark_fault_injected()
+                print(
+                    f"FATAL: {detector.consecutive} consecutive corrupt loss "
+                    f"windows at iter {step_no} (loss={avg}); NOT saving — "
+                    f"restart with --resume from the last periodic checkpoint.",
+                    flush=True,
+                )
+                from unmore_tpu.train.resilience import FATAL_EXIT_CODE
+
+                sys.exit(FATAL_EXIT_CODE)
     ckpt_writer.wait()
     prefetch.close()
 
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.max_restarts > 0 and not args.eval_mode:
+        # supervisor mode: pin the run name (children must share one
+        # run directory so restarts find its checkpoints), then re-invoke
+        # this CLI single-shot, resuming from the newest checkpoint on
+        # each retryable failure (unmore_tpu/train/supervisor.py)
+        from unmore_tpu.train.supervisor import child_argv, strip_flag, supervise
+
+        if args.run_name is None:
+            args.run_name = (
+                datetime.datetime.now().strftime("%y%m%d_%H%M%S")
+                + "_" + args.dataset + "_" + args.backbone_type
+            )
+        mode = "center_and_boundary" if args.train_center_and_boundary else "existence"
+        run_dir = os.path.join("results_objectness", mode, args.run_name)
+        raw = list(argv) if argv is not None else sys.argv[1:]
+        raw = strip_flag(raw, "--run_name", True) + ["--run_name", args.run_name]
+        base = child_argv(os.path.abspath(__file__), raw, "--max_restarts")
+
+        def build(attempt):
+            if attempt:
+                last = find_last_stage1_checkpoint(run_dir)
+                if last:
+                    return (
+                        base[:2]
+                        + strip_flag(base[2:], "--resume", True)
+                        + ["--resume", last]
+                    )
+            return base
+
+        sys.exit(supervise(build, args.max_restarts))
+
     import jax
 
     # persistent compile cache: remote compile of the ViT-L graphs takes

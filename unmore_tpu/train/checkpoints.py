@@ -20,7 +20,14 @@ def save_checkpoint(path: str, tree) -> None:
     """Atomic write: temp file + rename, so a crash / fail-fast exit
     mid-write (the async writer pulls for minutes through the relay)
     can never leave a truncated file under the final name — a truncated
-    newest checkpoint would otherwise break every --resume attempt."""
+    newest checkpoint would otherwise break every --resume attempt.
+
+    Corollary (verified by fault injection on the real chip): a
+    corruption fail-fast exit(3) that lands while an async write is in
+    flight kills the daemon writer and leaves only ``<path>.tmp``. That
+    is the INTENDED outcome — bytes pulled through a possibly-corrupt
+    channel must not become the newest durable checkpoint; --resume
+    falls back to the previous durable one (or a fresh start)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     host_tree = jax.device_get(serialization.to_state_dict(tree))
     tmp = path + ".tmp"

@@ -86,10 +86,56 @@ def dump_objectness_diagnostics(
     save("pred_sdf", sdf_to_rgb(pred_sdf))
     save("pred_sdf_mask", gray(1.0 / (1.0 + np.exp(-pred_sdf)) > 0.5))
     save("pred_center_norm", gray(np.linalg.norm(pred_center, axis=-1)))
+    # anti-center heatmap: the singularity-detection instrument — this
+    # is the map stage-2 thresholds at center_score_max_thres=0.009, so
+    # practitioners tune that threshold by eyeballing exactly this panel
+    # (reference anti_center visualization, train_objectness_net.py:
+    # 360-377 + the ~20-panel dump at :320-507)
+    save("pred_anti_center", gray(_anti_center_np(pred_center)))
+    # SDF spatial gradients (forward differences, zero last row/col —
+    # the quantity the sdf_gradient_loss trains on and the boundary
+    # step sizes divide by; reference :235-248 dumps both)
+    dy, dx = _image_gradients_np(pred_sdf)
+    save("pred_sdf_grad_dy", gray(dy))
+    save("pred_sdf_grad_dx", gray(dx))
     if gt_center is not None:
         save("gt_center_field", center_field_to_rgb(gt_center))
+        save("gt_anti_center", gray(_anti_center_np(gt_center)))
     if gt_sdf is not None:
         save("gt_sdf", sdf_to_rgb(gt_sdf))
+        gdy, gdx = _image_gradients_np(gt_sdf)
+        save("gt_sdf_grad_dy", gray(gdy))
+        save("gt_sdf_grad_dx", gray(gdx))
     if gt_mask is not None:
         save("gt_mask", gray(gt_mask))
     return out_dir
+
+
+def _anti_center_np(center_field: np.ndarray, kernel_size: int = 5) -> np.ndarray:
+    """Host-side anti-center map of one [H, W, 2] field — same math as
+    :func:`unmore_tpu.ops.fields.anti_center_map` without pulling JAX
+    into the visualization path."""
+    from unmore_tpu.ops.fields import _anti_center_kernel
+
+    k = _anti_center_kernel(kernel_size)[..., 0]  # [k, k, 2]
+    pad = kernel_size // 2
+    f = np.pad(
+        center_field.astype(np.float32), ((pad, pad), (pad, pad), (0, 0))
+    )
+    h, w = center_field.shape[:2]
+    out = np.zeros((h, w), np.float32)
+    for iy in range(kernel_size):
+        for ix in range(kernel_size):
+            patch = f[iy : iy + h, ix : ix + w]
+            out += patch[..., 0] * k[iy, ix, 0] + patch[..., 1] * k[iy, ix, 1]
+    return out / float(kernel_size**2 - 1)
+
+
+def _image_gradients_np(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Forward-difference gradients, zero last row/col (the
+    torchmetrics.image_gradients convention the losses use)."""
+    dy = np.zeros_like(x, dtype=np.float32)
+    dx = np.zeros_like(x, dtype=np.float32)
+    dy[:-1] = x[1:] - x[:-1]
+    dx[:, :-1] = x[:, 1:] - x[:, :-1]
+    return dy, dx
