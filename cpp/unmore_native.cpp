@@ -233,6 +233,145 @@ void edt_l2(const uint8_t* mask, int64_t h, int64_t w, float* dist_out) {
     }
 }
 
+// -------------------------------------------- mask paste-back (scoring)
+//
+// Support (positivity) of the bilinear paste of a crop-space mask into
+// a full-image canvas at the integer box extent — exactly the support
+// of unmore_tpu.ops.image.paste_mask_into_canvas (wy @ mask @ wx^T,
+// half-pixel taps, then threshold > 0). All weights are nonnegative,
+// so output (j, i) > 0 iff any tapped source pixel with positive
+// weight is positive: the lo tap always participates (1 - frac > 0
+// since frac in [0, 1)), the hi tap only when frac > 0. This lets the
+// object-scoring hot loop (tight boxes, areas, RLE of the pasted
+// union mask — reference object_scoring.py:195-235) run as pure
+// integer work with no full-canvas materialization.
+
+struct PasteAxis {
+    std::vector<int32_t> lo, hi;
+    std::vector<uint8_t> use_hi;
+};
+
+static void paste_axis(int64_t in, int64_t out, PasteAxis& ax) {
+    ax.lo.resize((size_t)out);
+    ax.hi.resize((size_t)out);
+    ax.use_hi.resize((size_t)out);
+    double scale = (double)in / (double)out;
+    double lim = (double)(in - 1);
+    for (int64_t j = 0; j < out; ++j) {
+        double src = ((double)j + 0.5) * scale - 0.5;
+        if (src < 0.0) src = 0.0;
+        if (src > lim) src = lim;
+        double lof = std::floor(src);
+        int64_t lo = (int64_t)lof;
+        ax.lo[j] = (int32_t)lo;
+        ax.hi[j] = (int32_t)std::min(lo + 1, in - 1);
+        ax.use_hi[j] = (src - lof) > 0.0 ? 1 : 0;
+    }
+}
+
+static void paste_box_bounds(const float* box, int64_t H, int64_t W,
+                             int64_t& x1, int64_t& y1, int64_t& x2, int64_t& y2) {
+    x1 = std::max<int64_t>((int64_t)std::floor((double)box[0]), 0);
+    y1 = std::max<int64_t>((int64_t)std::floor((double)box[1]), 0);
+    x2 = std::min<int64_t>((int64_t)std::ceil((double)box[2]), W);
+    y2 = std::min<int64_t>((int64_t)std::ceil((double)box[3]), H);
+}
+
+static inline bool paste_support_at(const uint8_t* m, int64_t sw,
+                                    const PasteAxis& ay, const PasteAxis& ax,
+                                    int64_t j, int64_t i) {
+    const uint8_t* r0 = m + (int64_t)ay.lo[j] * sw;
+    int32_t c0 = ax.lo[i], c1 = ax.hi[i];
+    uint8_t ux = ax.use_hi[i];
+    if (r0[c0] || (ux && r0[c1])) return true;
+    if (!ay.use_hi[j]) return false;
+    const uint8_t* r1 = m + (int64_t)ay.hi[j] * sw;
+    return r1[c0] || (ux && r1[c1]);
+}
+
+// Batched tight boxes (xyxy, xmax+1/ymax+1 convention) + pasted areas
+// for n crop-space masks [n, sh, sw] at boxes [n, 4] in an (H, W)
+// canvas. Empty paste -> all-zero tight box, area 0.
+void paste_support_stats(const uint8_t* masks, int64_t n, int64_t sh, int64_t sw,
+                         const float* boxes, int64_t H, int64_t W,
+                         float* tight_out, int64_t* area_out) {
+    PasteAxis ay, ax;
+    for (int64_t b = 0; b < n; ++b) {
+        const uint8_t* m = masks + b * sh * sw;
+        int64_t x1, y1, x2, y2;
+        paste_box_bounds(boxes + b * 4, H, W, x1, y1, x2, y2);
+        int64_t bh = y2 - y1, bw = x2 - x1;
+        int64_t area = 0, xmin = 0, xmax = -1, ymin = 0, ymax = -1;
+        if (bh > 0 && bw > 0) {
+            paste_axis(sh, bh, ay);
+            paste_axis(sw, bw, ax);
+            xmin = W; ymin = H;
+            for (int64_t j = 0; j < bh; ++j) {
+                for (int64_t i = 0; i < bw; ++i) {
+                    if (!paste_support_at(m, sw, ay, ax, j, i)) continue;
+                    ++area;
+                    int64_t yy = y1 + j, xx = x1 + i;
+                    if (xx < xmin) xmin = xx;
+                    if (xx > xmax) xmax = xx;
+                    if (yy < ymin) ymin = yy;
+                    if (yy > ymax) ymax = yy;
+                }
+            }
+        }
+        float* t = tight_out + b * 4;
+        if (area == 0) {
+            t[0] = t[1] = t[2] = t[3] = 0.0f;
+        } else {
+            t[0] = (float)xmin;
+            t[1] = (float)ymin;
+            t[2] = (float)(xmax + 1);
+            t[3] = (float)(ymax + 1);
+        }
+        area_out[b] = area;
+    }
+}
+
+// RLE runs (column-major COCO order, starting with 0s) of the pasted
+// support mask in the full (H, W) canvas, emitted directly — the
+// canvas is never materialized. Returns the number of runs.
+int64_t paste_support_rle(const uint8_t* mask, int64_t sh, int64_t sw,
+                          const float* box, int64_t H, int64_t W,
+                          int64_t* runs_out) {
+    int64_t x1, y1, x2, y2;
+    paste_box_bounds(box, H, W, x1, y1, x2, y2);
+    int64_t bh = y2 - y1, bw = x2 - x1;
+    PasteAxis ay, ax;
+    if (bh > 0 && bw > 0) {
+        paste_axis(sh, bh, ay);
+        paste_axis(sw, bw, ax);
+    }
+    int64_t m_runs = 0, count = 0;
+    uint8_t cur = 0;
+    auto push = [&](uint8_t v, int64_t k) {
+        if (k <= 0) return;
+        if (v == cur) {
+            count += k;
+        } else {
+            runs_out[m_runs++] = count;
+            cur = v;
+            count = k;
+        }
+    };
+    for (int64_t x = 0; x < W; ++x) {
+        if (bh <= 0 || bw <= 0 || x < x1 || x >= x2) {
+            push(0, H);
+            continue;
+        }
+        int64_t i = x - x1;
+        push(0, y1);
+        for (int64_t j = 0; j < bh; ++j)
+            push(paste_support_at(mask, sw, ay, ax, j, i) ? 1 : 0, 1);
+        push(0, H - y2);
+    }
+    runs_out[m_runs++] = count;
+    return m_runs;
+}
+
 // ---------------------------------------------- connected components (8-c)
 
 struct UF {

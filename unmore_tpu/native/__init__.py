@@ -70,6 +70,16 @@ def load():
         f64p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p, ctypes.c_int64,
         i64p, f64p,
     ]
+    lib.paste_support_stats.restype = None
+    lib.paste_support_stats.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        f32p, ctypes.c_int64, ctypes.c_int64, f32p, i64p,
+    ]
+    lib.paste_support_rle.restype = ctypes.c_int64
+    lib.paste_support_rle.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64,
+        f32p, ctypes.c_int64, ctypes.c_int64, i64p,
+    ]
     _lib = lib
     return _lib
 
@@ -190,6 +200,67 @@ def coco_match(ious: np.ndarray, gt_ig: np.ndarray, iscrowd: np.ndarray,
         _i64p(dtm), dt_ignore.ctypes.data_as(f64p),
     )
     return dtm, dt_ignore
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def paste_stats(masks: np.ndarray, boxes: np.ndarray, h: int, w: int):
+    """Tight boxes + areas of crop-space masks pasted into an (h, w)
+    canvas (the object-scoring paste-back, reference
+    ``object_scoring.py:195-235``), without materializing canvases.
+
+    masks: [N, s, s] uint8; boxes: [N, 4] float xyxy (paste locations).
+    Returns (tight [N, 4] float32 xyxy with the xmax+1 convention,
+    areas [N] int64). Empty pastes give an all-zero tight box + area 0.
+    Bit-identical to pasting with
+    :func:`unmore_tpu.ops.image.paste_mask_into_canvas` and reducing.
+    """
+    masks = np.ascontiguousarray(masks, np.uint8)
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    n = len(masks)
+    tight = np.zeros((n, 4), np.float32)
+    areas = np.zeros((n,), np.int64)
+    if n == 0:
+        return tight, areas
+    lib = load()
+    if lib is None:
+        from unmore_tpu.ops.image import paste_mask_into_canvas
+
+        for b in range(n):
+            sup = paste_mask_into_canvas(masks[b].astype(np.float32), boxes[b], (h, w)) > 0
+            ys, xs = np.nonzero(sup)
+            areas[b] = len(ys)
+            if len(ys):
+                tight[b] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        return tight, areas
+    lib.paste_support_stats(
+        _u8p(masks), n, masks.shape[1], masks.shape[2],
+        _f32p(boxes), h, w, _f32p(tight), _i64p(areas),
+    )
+    return tight, areas
+
+
+def paste_rle(mask: np.ndarray, box: np.ndarray, h: int, w: int) -> dict:
+    """COCO RLE of a crop-space mask pasted into an (h, w) canvas at
+    ``box`` — runs are emitted straight from the paste geometry (no
+    canvas decode/encode round-trip)."""
+    mask = np.ascontiguousarray(mask, np.uint8)
+    lib = load()
+    if lib is None:
+        from unmore_tpu.ops.image import paste_mask_into_canvas
+
+        sup = paste_mask_into_canvas(mask.astype(np.float32), box, (h, w)) > 0
+        return encode(sup.astype(np.uint8))
+    box_f = np.ascontiguousarray(np.asarray(box, np.float32)[:4])
+    runs = np.empty(h * w + 1, np.int64)
+    m = lib.paste_support_rle(
+        _u8p(mask), mask.shape[0], mask.shape[1], _f32p(box_f), h, w, _i64p(runs)
+    )
+    buf = ctypes.create_string_buffer(int(m) * 7 + 1)
+    s = lib.rle_encode_counts(_i64p(runs), m, buf)
+    return {"size": [int(h), int(w)], "counts": buf.raw[:s].decode("ascii")}
 
 
 def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:

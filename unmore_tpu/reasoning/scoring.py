@@ -2,9 +2,11 @@
 
 Re-design of reference ``object_scoring.py:43-272``. The split of labor
 is TPU-idiomatic: everything per-crop (model forwards, field decodes,
-score reductions) runs as one fixed-shape jitted program; the per-image
-full-resolution work (mask paste-back, RLE encoding, tight boxes) runs
-on the host where variable image sizes are natural.
+score reductions, the mask union) runs as one fixed-shape jitted
+program; the per-image full-resolution work (paste-back tight boxes /
+areas / RLE) runs on the host in the C++ support kernels
+(``cpp/unmore_native.cpp`` ``paste_support_*``) where variable image
+sizes are natural — no full-resolution canvas is ever materialized.
 
 Unlike the reference (one image per pass, ``object_scoring.py:172-272``),
 the device pass batches **multiple images on a shared proposal lattice**
@@ -32,9 +34,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unmore_tpu.ops.image import crop_and_resize, paste_mask_into_canvas
+from unmore_tpu.ops.image import crop_and_resize
 from unmore_tpu.ops.nms import nms_mask
-from unmore_tpu import native as rle_codec  # C++ RLE fast path (numpy fallback inside)
+from unmore_tpu import native as rle_codec  # C++ RLE/paste fast path (numpy fallback inside)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,12 +95,18 @@ class ObjectScoringEngine:
         sdf = fields["sdf_maps"]
         center = fields["center_fields"]
         center_norm = jnp.linalg.norm(center, axis=-1)
+        # crop-space union of the two field masks. Pasting this single
+        # mask has EXACTLY the support of pasting both masks and
+        # unioning (reference (cm + bm) > 0, object_scoring.py:195-228):
+        # bilinear weights are nonnegative and both pastes share the
+        # same weights, so paste(a) > 0 or paste(b) > 0 iff
+        # paste(a | b) > 0. Halves the device->host mask transfer.
+        union = (center_norm > 0.5) | (jax.nn.sigmoid(sdf) > 0.5)
         return {
             "existence": jnp.where(valid, exist, 0.0),
             "center_score": jnp.max(center_norm, axis=(1, 2)),
             "boundary_score": jnp.max(sdf, axis=(1, 2)),
-            "center_mask": (center_norm > 0.5).astype(jnp.uint8),
-            "boundary_mask": (jax.nn.sigmoid(sdf) > 0.5).astype(jnp.uint8),
+            "union_mask": union.astype(jnp.uint8),
         }
 
     def _sharded(self, n_canvas, n_slots):
@@ -187,29 +195,25 @@ class ObjectScoringEngine:
                jnp.asarray(lat_idx), jnp.asarray(lat_valid))
         )
 
-        # host: paste-back + union + tight boxes, per image
+        # host: paste-back stats via the C++ support kernel — one call
+        # per image computes every box's tight bbox + pasted area with
+        # no full-canvas materialization (the previous per-box Python
+        # loop allocated two H x W float canvases per box and was the
+        # serial section between the sharded device pass and the NMS)
         results = []
         all_tight = np.zeros((K * D, 4), np.float32)
-        union_by_img = []
+        all_areas = np.zeros((K * D,), np.int64)
+        union_masks = out["union_mask"]  # [K*D, s, s] uint8
         for g in range(n_img):
             cur, n = rows[g]
+            if not n:
+                continue
             h, w = images[g].shape[:2]
-            union_masks = []
-            for j in range(n):
-                i = cur + j
-                box = boxes_list[g][j]
-                cm = paste_mask_into_canvas(out["center_mask"][i].astype(np.float32), box, (h, w))
-                bm = paste_mask_into_canvas(out["boundary_mask"][i].astype(np.float32), box, (h, w))
-                union = ((cm + bm) > 0).astype(np.uint8)
-                union_masks.append(union)
-                ys, xs = np.nonzero(union)
-                if len(ys):
-                    x, y = float(xs.min()), float(ys.min())
-                    bw, bh = float(xs.max() - xs.min() + 1), float(ys.max() - ys.min() + 1)
-                else:
-                    x = y = bw = bh = 0.0
-                all_tight[i] = [x, y, x + bw, y + bh]
-            union_by_img.append(union_masks)
+            tight, areas = rle_codec.paste_stats(
+                union_masks[cur : cur + n], np.asarray(boxes_list[g], np.float32), h, w
+            )
+            all_tight[cur : cur + n] = tight
+            all_areas[cur : cur + n] = areas
 
         # one NMS over the whole lattice: per-image coordinate offsets
         # zero cross-image IoU (same trick as the discovery engine)
@@ -229,8 +233,8 @@ class ObjectScoringEngine:
             if not keep_local:
                 results.append([])
                 continue
-            union_masks = union_by_img[g]
-            areas = np.array([union_masks[j].sum() for j in keep_local], np.float64)
+            h, w = images[g].shape[:2]
+            areas = all_areas[[cur + j for j in keep_local]].astype(np.float64)
             max_area = max(areas.max(), 1.0)
             anns = []
             for j, area in zip(keep_local, areas):
@@ -240,7 +244,8 @@ class ObjectScoringEngine:
                 center_s = float(out["center_score"][i])
                 boundary_s = float(out["boundary_score"][i])
                 x1, y1, x2, y2 = all_tight[i]
-                enc = rle_codec.encode(union_masks[j])
+                # RLE emitted straight from the paste geometry (C++)
+                enc = rle_codec.paste_rle(union_masks[i], boxes_list[g][j], h, w)
                 anns.append(
                     {
                         "image_id": image_ids[g],
