@@ -240,7 +240,15 @@ def main():
     for _ in range(n_iters):
         sc_engine.score_batch(sc_images, sc_boxes, sc_ids)
     scoring_ips = 4 * n_iters / (time.perf_counter() - t0)
-    extra = {"stage2_scoring_images_per_sec": round(scoring_ips, 3)}
+    tm = sc_engine.last_timings
+    extra = {
+        "stage2_scoring_images_per_sec": round(scoring_ips, 3),
+        # host paste-back/NMS/RLE tail relative to the device pass
+        # (VERDICT r3 item 5: must stay within ~2x of the device time;
+        # the C++ support kernels keep it far below that)
+        "scoring_host_over_device": round(tm["host_s"] / max(tm["device_s"], 1e-9), 3)
+        if tm else None,
+    }
     if all(f is not None for f in (f_both, f_sdf, f_cls)):
         pinned_tflop = (
             N_SEED * f_cls + N_CENTER * f_both + N_ROUNDS * N_ACTIVE * f_sdf

@@ -106,7 +106,14 @@ def gen_stage1(out: str, n: int, size: int, seed: int) -> None:
     print(f"stage-1: {n} single-shape images -> {img_root}")
 
 
-def gen_scenes(out: str, n: int, size: int, seed: int) -> None:
+def gen_scenes(
+    out: str, n: int, size: int, seed: int,
+    dense_frac: float = 0.0, dense_objects: int = 50,
+) -> None:
+    """``dense_frac`` of the scenes carry up to ``dense_objects`` small
+    shapes (lattice-stress scenes: the reference's operating envelope has
+    crowded COCO images, and the scoring/discovery lattices must be
+    validated against overflow on them — VERDICT r3 missing #1)."""
     from unmore_tpu.utils.rle import encode as encode_rle  # byte-compatible COCO RLE
 
     rng = np.random.default_rng(seed + 77)
@@ -114,14 +121,21 @@ def gen_scenes(out: str, n: int, size: int, seed: int) -> None:
     os.makedirs(img_dir, exist_ok=True)
     images, annotations = [], []
     ann_id = 1
+    n_dense = int(round(n * dense_frac))
     for i in range(n):
         h = w = size
         img = textured_background(rng, h, w)
-        n_obj = int(rng.integers(2, 7))
+        dense = i < n_dense  # deterministic per seed; shuffled by image id anyway
+        if dense:
+            n_obj = int(rng.integers(max(dense_objects // 2, 8), dense_objects + 1))
+            frac_lo, frac_hi = 0.04, 0.12
+        else:
+            n_obj = int(rng.integers(2, 7))
+            frac_lo, frac_hi = 0.12, 0.35
         occupied = np.zeros((h, w), bool)
         for _ in range(n_obj):
             for _attempt in range(8):
-                mask, color = draw_shape(rng, h, w, min_frac=0.12, max_frac=0.35)
+                mask, color = draw_shape(rng, h, w, min_frac=frac_lo, max_frac=frac_hi)
                 overlap = (mask > 0) & occupied
                 if overlap.sum() <= 0.15 * max(mask.sum(), 1):
                     break
@@ -165,9 +179,14 @@ def main():
     ap.add_argument("--scenes", type=int, default=24)
     ap.add_argument("--size", type=int, default=480)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dense_frac", type=float, default=0.0,
+                    help="fraction of scenes packed with many small shapes")
+    ap.add_argument("--dense_objects", type=int, default=50,
+                    help="max objects in a dense scene")
     args = ap.parse_args()
     gen_stage1(args.out, args.stage1_n, args.size, args.seed)
-    gen_scenes(args.out, args.scenes, args.size, args.seed)
+    gen_scenes(args.out, args.scenes, args.size, args.seed,
+               dense_frac=args.dense_frac, dense_objects=args.dense_objects)
 
 
 if __name__ == "__main__":

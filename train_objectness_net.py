@@ -68,6 +68,11 @@ def parse_args(argv=None):
                    help="supervise the run: relaunch with --resume from the "
                         "newest checkpoint up to N times on corruption "
                         "fail-fast (exit 3) or crashes")
+    p.add_argument("--remat_vit", action="store_true",
+                   help="checkpoint ViT blocks (rematerialize in backward); "
+                        "required for batch >= 96 on 16 GB parts — without "
+                        "it saved activations exceed HBM and the compile "
+                        "fails (scripts/compile_oom_results.json)")
     p.add_argument("--skip_loss_above", type=float, default=1000.0,
                    help="spike guard: skip the update when the batch loss "
                         "exceeds this (non-finite always skips; 0 disables)")
@@ -166,6 +171,7 @@ def train_center_and_boundary(args):
         sdf_activation=args.sdf_activation,
         use_bg_sdf=args.use_bg_sdf,
         dtype=DTYPES[args.dtype],
+        remat_vit=args.remat_vit,
     )
     tx = make_optimizer(cfg.optim)
     mesh = data_parallel_mesh()

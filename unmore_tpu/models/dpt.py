@@ -103,6 +103,8 @@ class DPTFeatureExtractor(nn.Module):
     hybrid_resnet_kwargs: Any = None  # test override (miniature dims)
     dtype: Any = jnp.float32
     precision: Any = None
+    remat_vit: bool = False  # checkpoint ViT blocks (see ViTBackbone.remat)
+    vit_pack: int = 1  # sequence packing factor (see ViTBackbone.__call__)
 
     @nn.compact
     def __call__(self, x):
@@ -127,8 +129,9 @@ class DPTFeatureExtractor(nn.Module):
             token_taps = [(2, t3), (3, t4)]
         else:
             taps = ViTBackbone(
-                vit_cfg, spec["hooks"], dtype=self.dtype, precision=self.precision, name="vit"
-            )(x)
+                vit_cfg, spec["hooks"], dtype=self.dtype, precision=self.precision,
+                remat=self.remat_vit, name="vit"
+            )(x, pack=self.vit_pack)
             maps = []
             token_taps = list(enumerate(taps))
 

@@ -75,6 +75,9 @@ class ObjectnessNet(nn.Module):
     hybrid_resnet_kwargs: Any = None
     dtype: Any = jnp.float32
     precision: Any = None
+    remat_vit: bool = False  # checkpoint ViT blocks when training at
+    # large batch (see ViTBackbone.remat); inference paths leave it off
+    vit_pack: int = 1  # encoder sequence packing (see ViTBackbone.__call__)
 
     @nn.compact
     def __call__(self, images):
@@ -89,6 +92,8 @@ class ObjectnessNet(nn.Module):
             hybrid_resnet_kwargs=self.hybrid_resnet_kwargs,
             dtype=self.dtype,
             precision=self.precision,
+            remat_vit=self.remat_vit,
+            vit_pack=self.vit_pack,
             name="backbone",
         )(images)
         center = ConvHead(2, use_relu=True, dtype=self.dtype, precision=self.precision, name="center_head")(feat)

@@ -72,7 +72,7 @@ class Attention(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, attn_bias=None):
         B, N, C = x.shape
         head_dim = self.dim // self.heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, precision=self.precision, name="qkv")(x)
@@ -80,6 +80,10 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
         scale = head_dim**-0.5
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, precision=self.precision)
+        if attn_bias is not None:
+            # additive mask [N, N] (e.g. block-diagonal for sequence
+            # packing: tokens of different packed crops must not attend)
+            attn = attn + attn_bias.astype(attn.dtype)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v, precision=self.precision)
         out = out.reshape(B, N, C)
@@ -94,9 +98,9 @@ class Block(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, attn_bias=None):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.dim, self.heads, self.dtype, self.precision, name="attn")(y)
+        x = x + Attention(self.dim, self.heads, self.dtype, self.precision, name="attn")(y, attn_bias)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, self.mlp_dim, self.dtype, self.precision, name="mlp")(y)
         return x
@@ -114,9 +118,24 @@ class ViTBackbone(nn.Module):
     hooks: Sequence[int]
     dtype: Any = jnp.float32
     precision: Any = None
+    remat: bool = False  # jax.checkpoint each block: the stage-1 trainer
+    # has no other rematerialization, so saved forward activations scale
+    # linearly with batch and cross the 16 GB v5e HBM near batch 96
+    # (scripts/compile_oom_probe.py quantifies it); checkpointed blocks
+    # trade one extra forward for an O(depth) smaller activation
+    # footprint, lifting the trainable-batch ceiling
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pack: int = 1):
+        """``pack`` > 1 runs the encoder on packed sequences: the B crops
+        are grouped ``pack`` at a time, their token sequences concatenated
+        to one [B/pack, pack*(1+h*w), C] sequence under a block-diagonal
+        attention mask (tokens never attend across crops), and the hooked
+        taps split back to per-crop [B, 1+h*w, C] before returning —
+        numerically identical to pack=1 (softmax rows are unchanged;
+        LN/MLP/Dense are per-token), measured as an MFU experiment for
+        the 65-token lane-padding drag (BASELINE.md component
+        attribution)."""
         cfg = self.config
         B, H, W, _ = x.shape
         gh, gw = H // cfg.patch, W // cfg.patch
@@ -150,15 +169,28 @@ class ViTBackbone(nn.Module):
         tokens = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, cfg.dim)).astype(tokens.dtype), tokens], axis=1)
         tokens = tokens + pos.astype(tokens.dtype)
 
+        attn_bias = None
+        n_tok = 1 + gh * gw
+        if pack > 1:
+            assert B % pack == 0, (B, pack)
+            tokens = tokens.reshape(B // pack, pack * n_tok, cfg.dim)
+            # block-diagonal additive mask: -inf off the per-crop blocks
+            crop_of = jnp.arange(pack * n_tok) // n_tok
+            same = crop_of[:, None] == crop_of[None, :]
+            attn_bias = jnp.where(same, 0.0, -jnp.inf).astype(jnp.float32)
+
         taps_by_layer = {}
         hook_set = set(self.hooks)
+        block_cls = nn.remat(Block) if self.remat else Block
         for i in range(cfg.depth):
-            tokens = Block(
+            tokens = block_cls(
                 cfg.dim, cfg.heads, cfg.mlp_dim, self.dtype, self.precision, name=f"block{i}"
-            )(tokens)
+            )(tokens, attn_bias)
             if i in hook_set:
                 taps_by_layer[i] = tokens
         taps = [taps_by_layer[h] for h in self.hooks]
+        if pack > 1:
+            taps = [t.reshape(B, n_tok, cfg.dim) for t in taps]
         # The reference applies a final LayerNorm to produce `glob`
         # (models/dpt/vit.py:199) but DPT consumes only the hooked block
         # outputs, so the final norm is omitted here.

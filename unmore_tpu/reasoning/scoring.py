@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +64,7 @@ class ObjectScoringEngine:
         self._device_fn = jax.jit(self._device_scores)
         self._sharded_fns: dict = {}
         self._nms_j = jax.jit(functools.partial(nms_mask, iou_threshold=config.nms_iou))
+        self.last_timings: dict = {}  # device_s / host_s of the last score_batch
 
     @property
     def n_devices(self) -> int:
@@ -190,10 +192,13 @@ class ObjectScoringEngine:
             fn = self._sharded(B, K)
         else:
             fn = self._device_fn
+        t0 = time.perf_counter()
         out = jax.device_get(
             fn(self.variables, jnp.asarray(canvases), jnp.asarray(lat_boxes),
                jnp.asarray(lat_idx), jnp.asarray(lat_valid))
         )
+        t_device = time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         # host: paste-back stats via the C++ support kernel — one call
         # per image computes every box's tight bbox + pasted area with
@@ -260,4 +265,11 @@ class ObjectScoringEngine:
                     }
                 )
             results.append(anns)
+        # split timings for bench reporting: the device pass vs the host
+        # paste-back/NMS/encode tail (VERDICT r3 item 5 wants the host
+        # tail within ~2x of the device pass at scale)
+        self.last_timings = {
+            "device_s": t_device,
+            "host_s": time.perf_counter() - t0,
+        }
         return results
