@@ -9,15 +9,20 @@ at batch ~80-96; TPU memory assignment then fails *at compile time* —
 an HLO property, not a relay artifact.
 
 Evidence gathered here (CPU backend, so it runs without the chip and
-without disturbing a concurrent TPU job):
+without disturbing a concurrent TPU job): AOT-compile the EXACT train
+step at several small batches and read ``memory_analysis()`` for the
+temp-bytes-per-image slope, with and without ``remat_vit``.
 
-1. AOT-compile the EXACT train step (same model/config/dtype as the
-   CLI) at several small batches and read ``memory_analysis()`` —
-   temp (activation) bytes scale linearly in batch, so the slope +
-   intercept predict the batch-64 / batch-96 footprints. The batch-64
-   prediction is validated against the fact the chip accepts it.
-2. Repeat with ``remat_vit=True`` (checkpointed ViT blocks) to measure
-   how far remat lowers the slope — i.e. whether it lifts the ceiling.
+**Measured outcome: the CPU backend is NOT representative** — its
+scheduler keeps ~0.86 GB/image of temps in both modes (it even
+predicts batch 64 cannot fit, contradicting the chip, and shows no
+remat benefit because XLA:CPU does not apply the same fusion/offload
+pipeline). The decisive evidence is the TPU-side probe
+(``scripts/compile_oom_tpu_probe.py`` -> ``compile_oom_tpu_results
+.json``): batch 96 without remat fails memory assignment, batch 96
+WITH remat compiles at 10.6 GB temps + 3.9 GB residents < 16 GB HBM,
+batch 128 with remat exceeds HBM again (~14.2 + 3.9 GB). This file is
+kept as the honest record of the negative methodology result.
 
 Writes ``scripts/compile_oom_results.json``.
 """

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[20, 64, 128])
     ap.add_argument("--image_size", type=int, default=128)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint ViT blocks (--remat_vit CLI flag): "
+                         "required for batch >= 96, see "
+                         "scripts/compile_oom_tpu_results.json")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +53,7 @@ def main():
     cfg = TrainObjectnessConfig()
     model = ObjectnessNet(
         backbone_type="dpt_large", sdf_activation="tanh", use_bg_sdf=True,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, remat_vit=args.remat,
     )
     tx = make_optimizer(OptimConfig())
     S = args.image_size
@@ -101,8 +105,10 @@ def main():
         print(row, flush=True)
         del state
 
-    # CPU smoke runs must not clobber the recorded TPU numbers
-    name = "stage1_train_results.json" if jax.default_backend() == "tpu" else "stage1_train_results_cpu.json"
+    # CPU smoke runs must not clobber the recorded TPU numbers; remat
+    # sweeps get their own file next to the no-remat baseline
+    stem = "stage1_train_remat_results" if args.remat else "stage1_train_results"
+    name = f"{stem}.json" if jax.default_backend() == "tpu" else f"{stem}_cpu.json"
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)

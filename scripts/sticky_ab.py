@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--classifier", required=True)
     ap.add_argument("--canvas_size", type=int, default=512)
     ap.add_argument("--image_batch", type=int, default=4)
+    ap.add_argument("--start_idx", type=int, default=-1,
+                    help="scene-index subset (with --end_idx): lets the "
+                         "at-scale A/B bound the slow reference-rounds leg; "
+                         "GT is filtered to the subset for evaluation")
+    ap.add_argument("--end_idx", type=int, default=-1)
     ap.add_argument("--sdf_activation", default=None)
     ap.add_argument("--use_bg_sdf", action="store_true", default=True)
     ap.add_argument("--out", default=None)
@@ -98,9 +103,18 @@ def main():
     dataset = COCOImages(
         os.path.join(args.synth, "coco", "images"),
         os.path.join(args.synth, "coco", "instances.json"),
+        args.start_idx, args.end_idx,
     )
     with open(os.path.join(args.synth, "coco", "instances.json")) as f:
         gt = json.load(f)
+    if args.start_idx != -1 or args.end_idx != -1:
+        keep = {int(dataset.image_id(i)) for i in range(len(dataset))}
+        gt = dict(
+            gt,
+            images=[im for im in gt["images"] if im["id"] in keep],
+            annotations=[a for a in gt["annotations"] if a["image_id"] in keep],
+        )
+        print(f"subset: {len(gt['images'])} images, {len(gt['annotations'])} GT anns")
 
     scorer = ObjectScoringEngine(
         objectness_fn, classifier_fn,
