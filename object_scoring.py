@@ -105,6 +105,7 @@ def main(argv=None):
     my_indices = dist.host_shard_indices(len(todo))
     out_annotations = []
     t0 = time.time()
+    t_device = t_host = 0.0
     B = engine.image_slots
     for base in range(0, len(my_indices), B):
         group = [dataset.get(todo[int(i)], dtype=np.uint8) for i in my_indices[base : base + B]]
@@ -115,9 +116,16 @@ def main(argv=None):
         ]
         for anns in engine.score_batch(images, boxes_list, ids):
             out_annotations.extend(anns)
+        t_device += engine.last_timings.get("device_s", 0.0)
+        t_host += engine.last_timings.get("host_s", 0.0)
         done = min(base + B, len(my_indices))
         print(f"[{done}/{len(my_indices)}] images {ids}: "
               f"({done / (time.time() - t0):.3f} img/s)", flush=True)
+    if t_device:
+        # host paste-back/NMS/RLE tail vs the device pass (VERDICT r3
+        # item 5: the tail must stay within ~2x of the device time)
+        print(f"timing split: device {t_device:.1f}s, host tail {t_host:.1f}s "
+              f"(host/device {t_host / t_device:.3f})", flush=True)
 
     # gather per-host shards; process 0 writes the single contract JSON
     merged = [a for part in dist.all_gather_objects(out_annotations) for a in part]

@@ -1,0 +1,86 @@
+"""Aggregate per-image discovery stats from object_reasoning.py logs.
+
+The discovery CLI prints one ``[k/n] image <id>: {stats} (r img/s)``
+line per image. This parser collects them across any number of log
+files (the scale run is segmented into fresh processes) and emits the
+aggregate the scale report needs: image counts, throughput, lattice
+overflow counters (split/cc/active), boundary-round distribution, and
+a dense-vs-sparse split (scene ids <= ``--dense_upto`` are the packed
+scenes in the round-4 synthetic world).
+
+Usage: python scripts/parse_discovery_stats.py LOG [LOG ...] \
+           [--dense_upto 50] [--out summary.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import re
+
+LINE = re.compile(r"\[\d+/\d+\] image (\d+): (\{.*\}) \(([\d.]+) img/s\)")
+
+
+def parse_logs(paths):
+    recs = {}
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                m = LINE.search(line)
+                if not m:
+                    continue
+                img = int(m.group(1))
+                stats = ast.literal_eval(m.group(2))
+                recs[img] = stats  # retries overwrite: last attempt wins
+    return recs
+
+
+def summarize(recs: dict, dense_upto: int) -> dict:
+    def agg(items):
+        n = len(items)
+        if not n:
+            return {}
+        tot = lambda k: sum(s.get(k, 0) for s in items)  # noqa: E731
+        rounds = [s.get("boundary_rounds", 0) for s in items]
+        return {
+            "images": n,
+            "final_boxes": tot("n_final"),
+            "converged_boxes": tot("n_converged"),
+            "split_overflow_total": tot("split_overflow"),
+            "cc_overflow_total": tot("cc_overflow"),
+            "active_overflow_total": tot("active_overflow"),
+            "images_with_active_overflow": sum(
+                1 for s in items if s.get("active_overflow", 0) > 0
+            ),
+            "boundary_rounds_mean": round(sum(rounds) / n, 1),
+            "boundary_crops_total": sum(
+                sum(s.get("boundary_active_trace", [])) for s in items
+            ),
+        }
+
+    dense = [s for i, s in recs.items() if i <= dense_upto]
+    sparse = [s for i, s in recs.items() if i > dense_upto]
+    return {
+        "all": agg(list(recs.values())),
+        "dense_scenes": agg(dense),
+        "sparse_scenes": agg(sparse),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("logs", nargs="+")
+    ap.add_argument("--dense_upto", type=int, default=50)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    recs = parse_logs(args.logs)
+    summary = summarize(recs, args.dense_upto)
+    print(json.dumps(summary, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--classifier", required=True)
     ap.add_argument("--canvas_size", type=int, default=512)
     ap.add_argument("--image_batch", type=int, default=4)
+    ap.add_argument("--max_active", type=int, default=None,
+                    help="override ReasoningConfig.max_active — the "
+                         "boundary-lattice capacity A/B for the measured "
+                         "active_overflow at scale (images keep ~20%% more "
+                         "candidates at 2048; does the AP move?)")
     ap.add_argument("--start_idx", type=int, default=-1,
                     help="scene-index subset (with --end_idx): lets the "
                          "at-scale A/B bound the slow reference-rounds leg; "
@@ -136,9 +141,13 @@ def main():
         if mode not in wanted:
             continue
         print(f"== discovery [{mode}]", flush=True)
+        cfg_kw = {}
+        if args.max_active is not None:
+            cfg_kw["max_active"] = args.max_active
         cfg = ReasoningConfig(
             canvas_size=args.canvas_size, image_batch=args.image_batch,
             sticky_convergence=sticky, boundary_segment=args.boundary_segment,
+            **cfg_kw,
         )
         boxes_by_img, crops, wall = run_mode(
             cfg, variables, objectness_fn, classifier_fn, dataset, args.image_batch
