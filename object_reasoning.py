@@ -56,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--exist_chunk", type=int, default=1024,
                    help="classifier microbatch (the existence model is "
                         "~100x cheaper per crop and latency-bound at crop_chunk)")
+    p.add_argument("--vit_pack", type=int, default=1,
+                   help="ViT sequence packing: crops per packed encoder "
+                        "sequence (numerically identical; must divide "
+                        "crop_chunk and crop_chunk_tail)")
     p.add_argument("--pallas_decode", choices=["auto", "on", "off"], default="auto",
                    help="fused Pallas center-decode kernel (auto = on TPU)")
     p.add_argument("--devices", type=int, default=-1,
@@ -106,6 +110,11 @@ def main(argv=None):
         json.dump(vars(args), f, indent=2)
     print("result_folder", result_folder)
 
+    if args.vit_pack > 1 and (args.crop_chunk % args.vit_pack or args.crop_chunk_tail % args.vit_pack):
+        raise SystemExit(
+            f"--vit_pack {args.vit_pack} must divide --crop_chunk {args.crop_chunk} "
+            f"and --crop_chunk_tail {args.crop_chunk_tail}"
+        )
     objectness = build_objectness(args, args.dtype)
     classifier = build_classifier(args.dtype)
     obj_params = load_objectness_params(args.objectness_resume)

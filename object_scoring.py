@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--canvas_size", type=int, default=640)
     p.add_argument("--crop_chunk", type=int, default=128)
+    p.add_argument("--vit_pack", type=int, default=1,
+                   help="ViT sequence packing: crops per packed encoder "
+                        "sequence (numerically identical; must divide "
+                        "crop_chunk)")
     p.add_argument("--image_batch", type=int, default=4,
                    help="images scored per shared proposal lattice (per device)")
     p.add_argument("--devices", type=int, default=-1,
@@ -75,6 +79,10 @@ def main(argv=None):
             json.dump(vars(args), f, indent=2)
     print("result_folder", result_folder)
 
+    if args.vit_pack > 1 and args.crop_chunk % args.vit_pack:
+        raise SystemExit(
+            f"--vit_pack {args.vit_pack} must divide --crop_chunk {args.crop_chunk}"
+        )
     with open(args.raw_annotations_path) as f:
         raw_annotations = json.load(f)
     print("# of loaded images", len(raw_annotations))

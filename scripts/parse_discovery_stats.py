@@ -36,26 +36,46 @@ def parse_logs(paths):
     return recs
 
 
+PER_IMAGE_KEYS = ("n_final", "n_converged", "n_exist")
+
+
 def summarize(recs: dict, dense_upto: int) -> dict:
     def agg(items):
         n = len(items)
         if not n:
             return {}
-        tot = lambda k: sum(s.get(k, 0) for s in items)  # noqa: E731
+        # split/cc/active counters and the boundary trace are GROUP-level
+        # (images in one image_batch share a lattice and print identical
+        # group stats) — count each distinct group once, or a batch of 4
+        # overcounts them 4x. Group identity = the group-level key tuple.
+        groups = {}
+        for s in items:
+            key = tuple(
+                (k, tuple(v) if isinstance(v, list) else v)
+                for k, v in sorted(s.items())
+                if k not in PER_IMAGE_KEYS
+            )
+            groups[key] = s
+        gitems = list(groups.values())
+        tot = lambda k: sum(s.get(k, 0) for s in gitems)  # noqa: E731
         rounds = [s.get("boundary_rounds", 0) for s in items]
         return {
             "images": n,
-            "final_boxes": tot("n_final"),
-            "converged_boxes": tot("n_converged"),
+            "image_groups": len(gitems),
+            "final_boxes": sum(s.get("n_final", 0) for s in items),
+            "converged_boxes": sum(s.get("n_converged", 0) for s in items),
             "split_overflow_total": tot("split_overflow"),
             "cc_overflow_total": tot("cc_overflow"),
             "active_overflow_total": tot("active_overflow"),
-            "images_with_active_overflow": sum(
-                1 for s in items if s.get("active_overflow", 0) > 0
+            "groups_with_active_overflow": sum(
+                1 for s in gitems if s.get("active_overflow", 0) > 0
+            ),
+            "groups_with_split_overflow": sum(
+                1 for s in gitems if s.get("split_overflow", 0) > 0
             ),
             "boundary_rounds_mean": round(sum(rounds) / n, 1),
             "boundary_crops_total": sum(
-                sum(s.get("boundary_active_trace", [])) for s in items
+                sum(s.get("boundary_active_trace", [])) for s in gitems
             ),
         }
 

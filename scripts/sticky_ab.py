@@ -37,7 +37,8 @@ def run_mode(engine_cfg, variables, objectness_fn, classifier_fn, dataset, image
 
     engine = ObjectDiscoveryEngine(objectness_fn, classifier_fn, engine_cfg, variables=variables)
     results = {}
-    crops = {"boundary": 0, "existence": 0, "center": 0}
+    crops = {"boundary": 0, "existence": 0, "center": 0,
+             "split_overflow": 0, "active_overflow": 0, "cc_overflow": 0}
     t0 = time.time()
     n = len(dataset)
     for base in range(0, n, image_batch):
@@ -50,6 +51,8 @@ def run_mode(engine_cfg, variables, objectness_fn, classifier_fn, dataset, image
         crops["boundary"] += sum(s.get("boundary_active_trace", []))
         crops["existence"] += sum(o["stats"]["n_seed"] for o in outs) + s.get("n_split", 0)
         crops["center"] += s.get("n_center_in", 0) + s.get("n_recheck_center_in", 0)
+        for k in ("split_overflow", "active_overflow", "cc_overflow"):
+            crops[k] += int(s.get(k, 0))
         print(f"  [{min(base + image_batch, n)}/{n}]", flush=True)
     wall = time.time() - t0
     return results, crops, wall
@@ -67,6 +70,10 @@ def main():
                          "boundary-lattice capacity A/B for the measured "
                          "active_overflow at scale (images keep ~20%% more "
                          "candidates at 2048; does the AP move?)")
+    ap.add_argument("--max_splits", type=int, default=None,
+                    help="override ReasoningConfig.max_splits — at scale "
+                         "dense split phases overflow the per-image split "
+                         "lattice too (split_overflow in discovery stats)")
     ap.add_argument("--start_idx", type=int, default=-1,
                     help="scene-index subset (with --end_idx): lets the "
                          "at-scale A/B bound the slow reference-rounds leg; "
@@ -144,6 +151,8 @@ def main():
         cfg_kw = {}
         if args.max_active is not None:
             cfg_kw["max_active"] = args.max_active
+        if args.max_splits is not None:
+            cfg_kw["max_splits"] = args.max_splits
         cfg = ReasoningConfig(
             canvas_size=args.canvas_size, image_batch=args.image_batch,
             sticky_convergence=sticky, boundary_segment=args.boundary_segment,
@@ -168,6 +177,9 @@ def main():
             "segm_AP": round(metrics["segm"]["AP"], 4),
             "segm_AP50": round(metrics["segm"]["AP50"], 4),
             "boundary_crops": int(crops["boundary"]),
+            "split_overflow": crops["split_overflow"],
+            "active_overflow": crops["active_overflow"],
+            "cc_overflow": crops["cc_overflow"],
             "discovery_wall_s": round(wall, 1),
             "n_annotations": len(anns),
         }

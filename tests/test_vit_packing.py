@@ -51,6 +51,18 @@ def test_pack_must_divide_batch():
     raise AssertionError("pack=2 over batch 3 should be rejected")
 
 
+def test_cli_plumbing_threads_vit_pack():
+    """--vit_pack reaches the model through build_objectness (stage-2
+    CLIs) so packing adoption is a flag flip, not a code change."""
+    from argparse import Namespace
+
+    from unmore_tpu.cli.common import build_objectness
+
+    model = build_objectness(Namespace(use_bg_sdf=True, vit_pack=2))
+    assert model.vit_pack == 2
+    assert build_objectness(Namespace()).vit_pack == 1
+
+
 def test_remat_preserves_outputs_and_grads():
     params, x = _data()
 

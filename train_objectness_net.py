@@ -73,6 +73,10 @@ def parse_args(argv=None):
                         "required for batch >= 96 on 16 GB parts — without "
                         "it saved activations exceed HBM and the compile "
                         "fails (scripts/compile_oom_results.json)")
+    p.add_argument("--vit_pack", type=int, default=1,
+                   help="ViT sequence packing: images per packed encoder "
+                        "sequence (numerically identical; must divide the "
+                        "per-device batch)")
     p.add_argument("--skip_loss_above", type=float, default=1000.0,
                    help="spike guard: skip the update when the batch loss "
                         "exceeds this (non-finite always skips; 0 disables)")
@@ -166,12 +170,15 @@ def train_center_and_boundary(args):
         skip_loss_above=args.skip_loss_above,
     )
 
+    if args.vit_pack > 1 and args.batch_size % args.vit_pack:
+        raise SystemExit(f"--vit_pack {args.vit_pack} must divide --batch_size {args.batch_size}")
     model = ObjectnessNet(
         backbone_type=args.backbone_type,
         sdf_activation=args.sdf_activation,
         use_bg_sdf=args.use_bg_sdf,
         dtype=DTYPES[args.dtype],
         remat_vit=args.remat_vit,
+        vit_pack=args.vit_pack,
     )
     tx = make_optimizer(cfg.optim)
     mesh = data_parallel_mesh()

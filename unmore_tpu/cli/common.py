@@ -31,6 +31,9 @@ def build_objectness(args_like, dtype="bfloat16") -> ObjectnessNet:
         sdf_activation=getattr(args_like, "sdf_activation", None),
         use_bg_sdf=getattr(args_like, "use_bg_sdf", False),
         dtype=DTYPES[dtype],
+        # encoder sequence packing (numerically identical, see
+        # ViTBackbone.__call__): the crop chunk size must divide by it
+        vit_pack=getattr(args_like, "vit_pack", 1) or 1,
     )
 
 
