@@ -112,3 +112,35 @@ def test_vis_votecut_writes_id_masks_and_previews(tmp_path):
     assert set(_np.unique(mask)) == {0, 1, 2}
     vis = cv2.imread(str(tmp_path / "out" / "masks_vis" / "n001" / "a.png"))
     assert vis is not None and vis.max() > 0
+
+
+def test_parse_discovery_stats_dedupes_group_counters(tmp_path):
+    """Images in one image_batch print identical group-level stats; the
+    parser must count shared-lattice counters once per group while
+    summing per-image fields (overcounting bit round 4's scale report)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from parse_discovery_stats import parse_logs, summarize
+
+    group = {
+        "n_seed": 10, "n_split": 5, "split_overflow": 3,
+        "active_overflow": 7, "cc_overflow": 0,
+        "boundary_rounds": 50, "boundary_active_trace": [4, 2, 1],
+    }
+    lines = []
+    for img, n_final in [(0, 2), (1, 3)]:  # one group of 2
+        s = dict(group, n_final=n_final, n_converged=n_final + 1)
+        lines.append(f"[2/4] image {img}: {s} (0.060 img/s)")
+    other = dict(group, n_split=6, n_final=4, n_converged=5)
+    lines.append(f"[4/4] image 2: {other} (0.061 img/s)")  # second group
+    log = tmp_path / "d.log"
+    log.write_text("\n".join(lines) + "\n")
+
+    out = summarize(parse_logs([str(log)]), dense_upto=1)
+    assert out["all"]["images"] == 3
+    assert out["all"]["image_groups"] == 2
+    assert out["all"]["final_boxes"] == 2 + 3 + 4
+    assert out["all"]["split_overflow_total"] == 3 + 3  # once per group
+    assert out["all"]["active_overflow_total"] == 7 + 7
+    assert out["all"]["boundary_crops_total"] == 7 + 7
+    assert out["dense_scenes"]["images"] == 2
+    assert out["sparse_scenes"]["image_groups"] == 1
