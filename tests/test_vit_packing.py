@@ -77,3 +77,36 @@ def test_remat_preserves_outputs_and_grads():
     for a, b in zip(flat0, flat1):
         # recompute reassociates float reductions: tiny noise is expected
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=5e-4)
+
+
+def test_packed_objectness_matches_unpacked():
+    """Integration: a real (miniature) ObjectnessNet with vit_pack=2 must
+    reproduce the unpacked fields exactly — this is the shape the
+    stage-2 engines call through build_objectness(--vit_pack)."""
+    from unmore_tpu.models.objectness import ObjectnessNet
+    from unmore_tpu.models.vit import ViTConfig
+
+    def mini(pack):
+        return ObjectnessNet(
+            backbone_type="dpt_base",
+            sdf_activation="tanh",
+            use_bg_sdf=True,
+            features=16,
+            vit_config=ViTConfig(depth=2, dim=32, heads=2, mlp_dim=64, pretrain_grid=4),
+            hooks=(0, 1, 1, 1),
+            widths=(8, 16, 24, 24),
+            precision=HIGH,
+            vit_pack=pack,
+        )
+
+    rng = np.random.RandomState(3)
+    crops = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    params = mini(1).init(jax.random.PRNGKey(0), crops)["params"]
+    base = mini(1).apply({"params": params}, crops)
+    packed = mini(2).apply({"params": params}, crops)
+    np.testing.assert_allclose(
+        np.asarray(base["sdf_maps"]), np.asarray(packed["sdf_maps"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["center_fields"]), np.asarray(packed["center_fields"]), atol=2e-5
+    )
