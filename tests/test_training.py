@@ -181,7 +181,8 @@ def test_spike_guard_skips_exploding_batches():
     from unmore_tpu.train.objectness import init_state, make_optimizer, make_train_step
 
     cfg = TrainObjectnessConfig(
-        model=ModelConfig(image_size=32), optim=OptimConfig(), skip_loss_above=100.0
+        model=ModelConfig(image_size=32), optim=OptimConfig(), skip_loss_above=100.0,
+        spike_guard_warmup=0,  # arm the ceiling from step 0 for this test
     )
     model = ObjectnessNet(
         backbone_type="dpt_base", features=8,
@@ -214,3 +215,58 @@ def test_spike_guard_skips_exploding_batches():
         not np.array_equal(a, b)
         for a, b in zip(flatb, jax.tree_util.tree_leaves(jax.device_get(state_good.params)))
     )
+
+
+def test_spike_guard_warmup_grace():
+    # The Adam early-training transient can legitimately exceed any
+    # fixed ceiling (measured ~1100 with bg-SDF targets, which
+    # deadlocked a from-scratch run: every update skipped, then the
+    # fully-skipped-window fail-fast fired — round-4 scale run). During
+    # spike_guard_warmup steps a finite above-ceiling loss must still
+    # apply the update; a non-finite loss must skip even in warmup; the
+    # ceiling arms once state.step reaches the warmup bound.
+    import jax
+    import jax.numpy as jnp
+
+    from unmore_tpu.config import ModelConfig, OptimConfig, TrainObjectnessConfig
+    from unmore_tpu.models.objectness import ObjectnessNet
+    from unmore_tpu.models.vit import ViTConfig
+    from unmore_tpu.train.objectness import init_state, make_optimizer, make_train_step
+
+    cfg = TrainObjectnessConfig(
+        model=ModelConfig(image_size=32), optim=OptimConfig(), skip_loss_above=100.0,
+        spike_guard_warmup=2,
+    )
+    model = ObjectnessNet(
+        backbone_type="dpt_base", features=8,
+        vit_config=ViTConfig(depth=1, dim=16, heads=2, mlp_dim=32, pretrain_grid=2),
+        hooks=(0, 0, 0, 0), widths=(8, 8, 8, 8),
+    )
+    tx = make_optimizer(cfg.optim)
+    state = init_state(model, tx, jax.random.PRNGKey(0), image_size=32)
+    step = make_train_step(model, tx, cfg)
+    big = {
+        "image": jnp.zeros((2, 32, 32, 3)),
+        "center_field": jnp.zeros((2, 32, 32, 2)),
+        "sdf": jnp.full((2, 32, 32), 1e4),  # loss far beyond the ceiling
+        "saliency_mask": jnp.ones((2, 32, 32)) * 0.5,
+    }
+    nan = dict(big, sdf=jnp.full((2, 32, 32), jnp.nan))
+
+    p0 = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    state, m = step(state, big)  # step 0: warmup, ceiling unarmed
+    assert float(m["skipped"]) == 0.0
+    p1 = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    assert any(not np.array_equal(a, b) for a, b in zip(p0, p1))
+
+    state, m = step(state, nan)  # step 1: non-finite skips even in warmup
+    assert float(m["skipped"]) == 1.0
+    p2 = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)
+
+    state, m = step(state, big)  # step 2 == warmup bound: ceiling armed
+    assert float(m["skipped"]) == 1.0
+    p3 = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    for a, b in zip(p2, p3):
+        np.testing.assert_array_equal(a, b)

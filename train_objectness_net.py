@@ -80,6 +80,11 @@ def parse_args(argv=None):
     p.add_argument("--skip_loss_above", type=float, default=1000.0,
                    help="spike guard: skip the update when the batch loss "
                         "exceeds this (non-finite always skips; 0 disables)")
+    p.add_argument("--spike_guard_warmup", type=int, default=500,
+                   help="the skip_loss_above ceiling only arms after this "
+                        "many steps: the Adam early-training transient can "
+                        "legitimately exceed any fixed ceiling (non-finite "
+                        "losses still skip during warmup)")
     return p.parse_args(argv)
 
 
@@ -168,6 +173,7 @@ def train_center_and_boundary(args):
         random_crop_scale_min=args.random_crop_scale_min,
         random_crop_scale_max=args.random_crop_scale_max,
         skip_loss_above=args.skip_loss_above,
+        spike_guard_warmup=args.spike_guard_warmup,
     )
 
     if args.vit_pack > 1 and args.batch_size % args.vit_pack:

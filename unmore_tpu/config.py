@@ -73,10 +73,19 @@ class TrainObjectnessConfig:
     # non-finite or above this ceiling (a single corrupted batch /
     # transient device fault at lr 1e-4 permanently damaged a round-3
     # run: loss 0.60 -> 5300 at one step, fields never recovered —
-    # STATUS.md). Warmup losses peak ~110, spikes observed at 5000+;
-    # 0 disables. The reference's CAD loop has the analogous NaN-skip
-    # (train_loop.py:280-284); its stage 1 has no protection.
+    # STATUS.md). 0 disables. The reference's CAD loop has the analogous
+    # NaN-skip (train_loop.py:280-284); its stage 1 has no protection.
     skip_loss_above: float = 1000.0
+    # The Adam early-training transient can legitimately exceed any
+    # fixed ceiling (measured: peak ~110 without bg-SDF, ~1100 with —
+    # above the ceiling, which deadlocked a run: every update skipped,
+    # then the fully-skipped-window fail-fast fired at iter 150, round-4
+    # scale run). For the first spike_guard_warmup steps only non-finite
+    # losses skip; the ceiling arms afterwards. The corruption mode the
+    # guard exists for onsets after ~35-50 min of sustained traffic
+    # (thousands of iters), never at step 1. Mirrors the CAD trainer's
+    # in_warmup exemption (cad/train_net.py --corrupt-loss-ceiling).
+    spike_guard_warmup: int = 500
 
     def __post_init__(self):
         if isinstance(self.model, dict):

@@ -130,8 +130,13 @@ def make_train_step(model, tx, cfg: TrainObjectnessConfig, mesh: Mesh | None = N
         if cfg.skip_loss_above > 0:
             # spike guard: a non-finite or exploding batch loss must not
             # touch the weights (one such step destroyed a training run;
-            # see TrainObjectnessConfig.skip_loss_above)
-            ok = jnp.isfinite(losses["total"]) & (losses["total"] < cfg.skip_loss_above)
+            # see TrainObjectnessConfig.skip_loss_above). The absolute
+            # ceiling only arms after spike_guard_warmup steps — the
+            # Adam warmup transient can legitimately exceed it.
+            armed = state.step >= cfg.spike_guard_warmup
+            ok = jnp.isfinite(losses["total"]) & (
+                ~armed | (losses["total"] < cfg.skip_loss_above)
+            )
             params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), params, state.params
             )
