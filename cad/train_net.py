@@ -446,6 +446,7 @@ def main(argv=None):
     detector = CorruptionDetector()
     for it_no in range(int(state.step), solver["max_iter"]):
         state, losses = step_fn(state, next_global_batch())
+        ckpt_writer.pump()  # advance any in-flight save a few leaves/iter
         step_no = it_no + 1
         if step_no % 20 == 0:
             line = {k: round(float(v), 4) for k, v in losses.items()}

@@ -281,6 +281,7 @@ def train_center_and_boundary(args):
         loss_acc = metrics["total"] if loss_acc is None else loss_acc + metrics["total"]
         skip_acc = metrics["skipped"] + (0.0 if skip_acc is None else skip_acc) \
             if "skipped" in metrics else skip_acc
+        ckpt_writer.pump()  # advance any in-flight save a few leaves/iter
         step_no = iteration + 1
         if step_no % args.save_ckpt_every == 0:
             if detector.last_window_corrupt:
@@ -522,6 +523,7 @@ def train_existence(args):
         batch = shard_batch(mesh, next(prefetch))
         state, metrics = step_fn(state, batch)
         loss_acc = metrics["loss"] if loss_acc is None else loss_acc + metrics["loss"]
+        ckpt_writer.pump()  # advance any in-flight save a few leaves/iter
         step_no = iteration + 1
         if step_no % args.save_ckpt_every == 0:
             if detector.last_window_corrupt:

@@ -9,7 +9,6 @@ best-effort for optimizer state, mirroring ``train_objectness_net.py:115-125``.
 from __future__ import annotations
 
 import os
-import threading
 
 import jax
 import jax.numpy as jnp
@@ -37,51 +36,86 @@ def save_checkpoint(path: str, tree) -> None:
 
 
 class AsyncCheckpointer:
-    """Non-blocking checkpoint writes.
+    """Non-blocking checkpoint writes, pumped cooperatively.
 
     A synchronous save blocks training on a full device->host pull of
     params + optimizer state (minutes for ViT-L through the axon
-    relay). Here the save takes an on-device *copy* of the state (a
-    fast HBM copy that is NOT tied to the training step's donated
-    buffers) and a background thread does the slow device_get +
-    msgpack write while training continues. One write is in flight at
-    a time; a new save waits for the previous write to land
-    (checkpoint order is preserved). Call ``wait()`` before exiting.
+    relay). The first design ran the pull on a background thread; a
+    mid-run save then **wedged the run for 35+ minutes** (round-4 scale
+    run): the thread's monolithic ``device_get`` and the main thread's
+    step dispatches race on the single relay channel and neither makes
+    progress. So no threads: ``save`` takes an on-device *copy* of the
+    state (fast HBM copies, NOT tied to the training step's donated
+    buffers) and the train loop calls :meth:`pump` once per iteration,
+    pulling a few leaves at a time from the SAME thread that dispatches
+    steps. The pull interleaves with compute (one bounded pause per
+    iteration instead of one multi-minute stall), device calls stay
+    serialized, and a wedge is impossible. When the last leaf lands the
+    file is written atomically. One save is in flight at a time; a new
+    ``save`` drains the previous one. Call ``wait()`` before exiting.
     """
 
-    def __init__(self):
-        self._thread: threading.Thread | None = None
-        self._error: BaseException | None = None
+    def __init__(self, leaves_per_pump: int = 4, use_pump: bool | None = None):
+        self.leaves_per_pump = leaves_per_pump
+        self.use_pump = use_pump  # None = auto: pump off CPU (cheap pulls)
+        self._path: str | None = None
+        self._flat: list = []
+        self._host: list = []
+        self._treedef = None
+        self._next = 0
+
+    @property
+    def in_flight(self) -> bool:
+        return self._path is not None
 
     def save(self, path: str, tree) -> None:
         self.wait()
-        if jax.default_backend() == "cpu":
-            # the XLA:CPU client aborts on background-thread device_get
-            # racing main-thread execution (observed under the 8-virtual-
-            # device test backend); CPU pulls are cheap anyway
+        pump = self.use_pump
+        if pump is None:
+            pump = jax.default_backend() != "cpu"
+        if not pump:
+            # CPU pulls are cheap; keep the simple blocking path
             save_checkpoint(path, tree)
             return
         # device-side snapshot: safe from later donation of `tree`
         snapshot = jax.tree_util.tree_map(
-            lambda x: jnp.array(x) if isinstance(x, jax.Array) else x, tree
+            lambda x: jnp.array(x) if isinstance(x, jax.Array) else x,
+            serialization.to_state_dict(tree),
         )
+        self._flat, self._treedef = jax.tree_util.tree_flatten(snapshot)
+        self._host = [None] * len(self._flat)
+        self._next = 0
+        self._path = path
 
-        def write():
-            try:
-                save_checkpoint(path, snapshot)
-            except BaseException as e:  # surfaced on the next save/wait
-                self._error = e
-
-        self._thread = threading.Thread(target=write, daemon=True)
-        self._thread.start()
+    def pump(self) -> bool:
+        """Advance the in-flight save by up to ``leaves_per_pump``
+        device->host leaf pulls; returns True while a save remains in
+        flight. Cheap no-op when idle — call every training iteration."""
+        if self._path is None:
+            return False
+        stop = min(self._next + self.leaves_per_pump, len(self._flat))
+        while self._next < stop:
+            leaf = self._flat[self._next]
+            self._host[self._next] = (
+                jax.device_get(leaf) if isinstance(leaf, jax.Array) else leaf
+            )
+            self._flat[self._next] = None  # release the HBM copy
+            self._next += 1
+        if self._next < len(self._flat):
+            return True
+        host_tree = jax.tree_util.tree_unflatten(self._treedef, self._host)
+        path, self._path = self._path, None
+        self._flat, self._host, self._treedef = [], [], None
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.msgpack_serialize(host_tree))
+        os.replace(tmp, path)
+        return False
 
     def wait(self) -> None:
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
-        if self._error is not None:
-            e, self._error = self._error, None
-            raise e
+        while self.pump():
+            pass
 
 
 def load_checkpoint(path: str, target=None):
