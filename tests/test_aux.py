@@ -71,8 +71,8 @@ def test_async_checkpointer_pump_path(tmp_path):
     # device_get racing main-thread step dispatches wedged a run on the
     # relay — round-4 scale run). Force it on CPU: the save must stay
     # in flight across pump() calls, survive donation of the original
-    # tree, write nothing until the last leaf lands, then rename
-    # atomically; wait() drains.
+    # tree, stream leaves into <path>.tmp as they are pulled, and only
+    # rename atomically once the last leaf is durable; wait() drains.
     import os
 
     import jax.numpy as jnp
@@ -87,6 +87,7 @@ def test_async_checkpointer_pump_path(tmp_path):
     assert w.in_flight
     assert w.pump()  # 3 leaves at 1/pump: still in flight after the 1st
     assert not os.path.exists(path)  # nothing durable mid-pull
+    assert os.path.getsize(path + ".tmp") > 0  # ...but the stream flows
     while w.pump():
         pass
     assert not w.in_flight

@@ -12,7 +12,52 @@ import os
 
 import jax
 import jax.numpy as jnp
+import msgpack
+import numpy as np
 from flax import serialization
+
+try:  # stable COCO-style wire format, but the hook is private API
+    from flax.serialization import MAX_CHUNK_SIZE as _MAX_CHUNK
+    from flax.serialization import _chunk
+    from flax.serialization import _msgpack_ext_pack as _ext_pack
+except ImportError:  # pragma: no cover - re-pin the ext codes locally
+    _MAX_CHUNK = 2**30
+
+    def _chunk(arr):
+        raise NotImplementedError("leaf > 1 GiB needs flax._chunk")
+
+    def _ext_pack(x):
+        if isinstance(x, (np.ndarray, jax.Array)):
+            tpl = (x.shape, x.dtype.name, np.ascontiguousarray(x).tobytes())
+            return msgpack.ExtType(1, msgpack.packb(tpl, use_bin_type=True))
+        raise TypeError(f"unserializable leaf {type(x)}")
+
+
+def _stream_plan(obj):
+    """Depth-first msgpack token stream for a state dict: scaffolding
+    (map/array headers, keys) as ready bytes, leaves as deferred tokens
+    so the device->host pull AND the encode+write of each leaf can be
+    amortized one pump at a time. The byte stream restores identically
+    to ``msgpack_serialize`` of the same tree (same ext codes, same
+    chunking of >1 GiB leaves)."""
+    packer = msgpack.Packer(use_bin_type=True)
+    if isinstance(obj, dict):
+        yield ("bytes", packer.pack_map_header(len(obj)))
+        for k, v in obj.items():
+            yield ("bytes", packer.pack(k))
+            yield from _stream_plan(v)
+    elif isinstance(obj, (list, tuple)):
+        yield ("bytes", packer.pack_array_header(len(obj)))
+        for v in obj:
+            yield from _stream_plan(v)
+    else:
+        yield ("leaf", obj)
+
+
+def _pack_leaf(x) -> bytes:
+    if isinstance(x, np.ndarray) and x.nbytes > _MAX_CHUNK:
+        x = _chunk(x)  # msgpack caps one object at 2**31-1 bytes
+    return msgpack.packb(x, default=_ext_pack, strict_types=True)
 
 
 def save_checkpoint(path: str, tree) -> None:
@@ -50,18 +95,26 @@ class AsyncCheckpointer:
     pulling a few leaves at a time from the SAME thread that dispatches
     steps. The pull interleaves with compute (one bounded pause per
     iteration instead of one multi-minute stall), device calls stay
-    serialized, and a wedge is impossible. When the last leaf lands the
-    file is written atomically. One save is in flight at a time; a new
-    ``save`` drains the previous one. Call ``wait()`` before exiting.
+    serialized, and a wedge is impossible.
+
+    Each pulled leaf is msgpack-encoded and appended to ``<path>.tmp``
+    immediately (scale-run measurement: a monolithic end-of-drain
+    serialize+write of a 4.2 GB ViT-L+Adam tree blocked one iteration
+    for ~10 min on an 8 MB/s-disk host — streaming amortizes encode and
+    disk I/O into the same per-iteration pumps as the pull, and host
+    memory holds one leaf at a time instead of two full copies). The
+    atomic rename happens only after the last leaf is durable; a crash
+    mid-save leaves only ``.tmp``. One save is in flight at a time; a
+    new ``save`` drains the previous one. Call ``wait()`` before
+    exiting.
     """
 
     def __init__(self, leaves_per_pump: int = 4, use_pump: bool | None = None):
         self.leaves_per_pump = leaves_per_pump
         self.use_pump = use_pump  # None = auto: pump off CPU (cheap pulls)
         self._path: str | None = None
-        self._flat: list = []
-        self._host: list = []
-        self._treedef = None
+        self._file = None
+        self._plan: list = []
         self._next = 0
 
     @property
@@ -82,35 +135,37 @@ class AsyncCheckpointer:
             lambda x: jnp.array(x) if isinstance(x, jax.Array) else x,
             serialization.to_state_dict(tree),
         )
-        self._flat, self._treedef = jax.tree_util.tree_flatten(snapshot)
-        self._host = [None] * len(self._flat)
+        self._plan = list(_stream_plan(snapshot))
         self._next = 0
         self._path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._file = open(path + ".tmp", "wb")
 
     def pump(self) -> bool:
         """Advance the in-flight save by up to ``leaves_per_pump``
-        device->host leaf pulls; returns True while a save remains in
+        leaf pull+encode+writes; returns True while a save remains in
         flight. Cheap no-op when idle — call every training iteration."""
         if self._path is None:
             return False
-        stop = min(self._next + self.leaves_per_pump, len(self._flat))
-        while self._next < stop:
-            leaf = self._flat[self._next]
-            self._host[self._next] = (
-                jax.device_get(leaf) if isinstance(leaf, jax.Array) else leaf
-            )
-            self._flat[self._next] = None  # release the HBM copy
+        leaves = 0
+        while self._next < len(self._plan):
+            kind, val = self._plan[self._next]
+            if kind == "bytes":
+                self._file.write(val)
+            else:
+                if leaves >= self.leaves_per_pump:
+                    self._file.flush()
+                    return True
+                if isinstance(val, jax.Array):
+                    val = jax.device_get(val)
+                self._file.write(_pack_leaf(val))
+                leaves += 1
+            self._plan[self._next] = None  # release HBM copy / buffer
             self._next += 1
-        if self._next < len(self._flat):
-            return True
-        host_tree = jax.tree_util.tree_unflatten(self._treedef, self._host)
+        self._file.close()
         path, self._path = self._path, None
-        self._flat, self._host, self._treedef = [], [], None
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(serialization.msgpack_serialize(host_tree))
-        os.replace(tmp, path)
+        self._file, self._plan = None, []
+        os.replace(path + ".tmp", path)
         return False
 
     def wait(self) -> None:
