@@ -56,6 +56,11 @@ def parse_args(argv=None):
     p.add_argument("--max-restarts", type=int, default=0,
                    help="supervise the run: relaunch with --resume up to N "
                         "times on corruption fail-fast (exit 3) or crashes")
+    p.add_argument("--hang-timeout-min", type=float, default=40.0,
+                   help="supervised runs only: kill + restart the child when "
+                        "it prints nothing for this long (relay-wedge hangs "
+                        "never exit on their own; must outlast a cold remote "
+                        "compile, ~20 min). 0 disables")
     p.add_argument("--corrupt-loss-ceiling", type=float, default=1e3,
                    help="finite loss above this (post-warmup) counts as a "
                         "corrupt log window for the fail-fast detector")
@@ -217,7 +222,11 @@ def main(argv=None):
                 return base[:i] + ["--resume"] + base[i:]
             return base
 
-        sys.exit(supervise(build, args.max_restarts))
+        sys.exit(supervise(
+            build,
+            args.max_restarts,
+            hang_timeout=args.hang_timeout_min * 60 or None,
+        ))
 
     import jax
 

@@ -158,6 +158,57 @@ def test_supervise_usage_error_not_retried():
     assert calls == [0]
 
 
+def test_supervise_hang_watchdog_kills_and_restarts(tmp_path):
+    """A child that goes silent (relay-wedge hang: blocked in a device
+    call, never exits — STATUS round-4 incident) is killed after
+    hang_timeout and restarted like any crash."""
+    from unmore_tpu.train.supervisor import supervise
+
+    marker = str(tmp_path / "hung_once")
+    # attempt 0: print one line then hang forever; attempt 1: exit 0
+    script = (
+        "import os, sys, time\n"
+        f"if not os.path.exists({marker!r}):\n"
+        f"    open({marker!r}, 'w').close()\n"
+        "    print('starting', flush=True)\n"
+        "    time.sleep(120)\n"
+        "sys.exit(0)\n"
+    )
+    msgs = []
+
+    def build(attempt):
+        return [sys.executable, "-c", script]
+
+    rc = supervise(
+        build, max_restarts=2, restart_delay=0.0,
+        log=msgs.append, hang_timeout=10.0,
+    )
+    assert rc == 0
+    assert any("killing hung child" in m for m in msgs)
+    assert any("hang (no output)" in m for m in msgs)
+
+
+def test_supervise_watchdog_spares_talkative_child(capfd):
+    """Steady output resets the watchdog; the child finishes untouched
+    and its stdout passes through the supervisor verbatim."""
+    from unmore_tpu.train.supervisor import supervise
+
+    script = (
+        "import time\n"
+        "for i in range(4):\n"
+        "    print('tick', i, flush=True)\n"
+        "    time.sleep(1.0)\n"
+    )
+    msgs = []
+    rc = supervise(
+        lambda attempt: [sys.executable, "-c", script],
+        max_restarts=0, log=msgs.append, hang_timeout=25.0,
+    )
+    assert rc == 0
+    assert not msgs
+    assert "tick 3" in capfd.readouterr().out
+
+
 # -------------------------------------------------- stage-1 CLI plumbing
 
 

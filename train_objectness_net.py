@@ -68,6 +68,11 @@ def parse_args(argv=None):
                    help="supervise the run: relaunch with --resume from the "
                         "newest checkpoint up to N times on corruption "
                         "fail-fast (exit 3) or crashes")
+    p.add_argument("--hang_timeout_min", type=float, default=40.0,
+                   help="supervised runs only: kill + restart the child when "
+                        "it prints nothing for this long (relay-wedge hangs "
+                        "never exit on their own; must outlast a cold remote "
+                        "compile, ~20 min). 0 disables")
     p.add_argument("--remat_vit", action="store_true",
                    help="checkpoint ViT blocks (rematerialize in backward); "
                         "required for batch >= 96 on 16 GB parts — without "
@@ -599,7 +604,11 @@ def main(argv=None):
                     )
             return base
 
-        sys.exit(supervise(build, args.max_restarts))
+        sys.exit(supervise(
+            build,
+            args.max_restarts,
+            hang_timeout=args.hang_timeout_min * 60 or None,
+        ))
 
     import jax
 

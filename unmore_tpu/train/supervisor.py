@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import subprocess
 import sys
+import threading
 import time
 from typing import Callable, Sequence
 
@@ -41,11 +42,65 @@ def retryable(returncode: int) -> bool:
     return returncode not in (0, _USAGE_ERROR)
 
 
+def _run_with_watchdog(
+    argv: Sequence[str],
+    hang_timeout: float,
+    log: Callable[[str], None],
+) -> tuple[int, bool]:
+    """Run the child with its stdout piped through us, killing it when
+    no output arrives for ``hang_timeout`` seconds.
+
+    A relay-wedge hang (the channel stalls mid-call; the child blocks
+    forever inside a device op without exiting — STATUS.md round-4
+    incident) never trips the exit-code path, so a supervisor that only
+    watches exits leaves an unattended run dead in the water. Output
+    is the liveness signal: the trainers print every log window, and
+    the longest *legitimate* silence is a cold remote compile.
+    Returns (returncode, hung).
+    """
+    proc = subprocess.Popen(
+        list(argv), stdout=subprocess.PIPE, stderr=subprocess.STDOUT
+    )
+    last_output = [time.monotonic()]
+
+    def pump() -> None:
+        assert proc.stdout is not None
+        for raw in proc.stdout:
+            last_output[0] = time.monotonic()
+            sys.stdout.buffer.write(raw)
+            sys.stdout.buffer.flush()
+
+    reader = threading.Thread(target=pump, daemon=True)
+    reader.start()
+    hung = False
+    while True:
+        try:
+            rc = proc.wait(timeout=5.0)
+            break
+        except subprocess.TimeoutExpired:
+            if time.monotonic() - last_output[0] > hang_timeout:
+                hung = True
+                log(
+                    f"supervisor: no child output for {hang_timeout:.0f}s; "
+                    "killing hung child"
+                )
+                proc.terminate()
+                try:
+                    rc = proc.wait(timeout=30.0)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    rc = proc.wait()
+                break
+    reader.join(timeout=5.0)
+    return rc, hung
+
+
 def supervise(
     build_argv: Callable[[int], Sequence[str]],
     max_restarts: int,
     restart_delay: float = 2.0,
     log: Callable[[str], None] = lambda msg: print(msg, flush=True),
+    hang_timeout: float | None = None,
 ) -> int:
     """Run ``build_argv(attempt)`` as a subprocess with bounded restarts.
 
@@ -53,19 +108,31 @@ def supervise(
     returns the full argv; attempts > 0 should include the resume flag
     pointing at the newest checkpoint. Returns the final exit code
     (0 on success, the child's last code when restarts are exhausted).
+
+    With ``hang_timeout`` (seconds), child stdout is piped through the
+    supervisor and a child that prints nothing for that long is killed
+    and restarted like any crash (see :func:`_run_with_watchdog`).
     """
     attempt = 0
     while True:
         argv = list(build_argv(attempt))
         if attempt:
             log(f"supervisor: restart {attempt}/{max_restarts}: {' '.join(argv)}")
-        proc = subprocess.run(argv)
-        rc = proc.returncode
-        if not retryable(rc):
+        if hang_timeout is not None:
+            rc, hung = _run_with_watchdog(argv, hang_timeout, log)
+        else:
+            rc, hung = subprocess.run(argv).returncode, False
+        if not hung and not retryable(rc):
             if rc:
                 log(f"supervisor: non-retryable exit {rc}")
             return rc
-        why = "corruption fail-fast" if rc == FATAL_EXIT_CODE else f"exit {rc}"
+        why = (
+            "hang (no output)"
+            if hung
+            else "corruption fail-fast"
+            if rc == FATAL_EXIT_CODE
+            else f"exit {rc}"
+        )
         if attempt >= max_restarts:
             log(f"supervisor: {why}, restart budget ({max_restarts}) exhausted")
             return rc
