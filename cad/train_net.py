@@ -61,6 +61,12 @@ def parse_args(argv=None):
                         "it prints nothing for this long (relay-wedge hangs "
                         "never exit on their own; must outlast a cold remote "
                         "compile, ~20 min). 0 disables")
+    p.add_argument("--busy-hang-timeout-min", type=float, default=15.0,
+                   help="supervised runs only: kill + restart sooner when the "
+                        "silent child is also burning >25%% of a core — a "
+                        "wedged relay client spins, while a remote compile "
+                        "blocks at ~0%% CPU (graph tracing IS CPU-heavy, but "
+                        "minutes, not this long). 0 disables")
     p.add_argument("--corrupt-loss-ceiling", type=float, default=1e3,
                    help="finite loss above this (post-warmup) counts as a "
                         "corrupt log window for the fail-fast detector")
@@ -226,6 +232,7 @@ def main(argv=None):
             build,
             args.max_restarts,
             hang_timeout=args.hang_timeout_min * 60 or None,
+            busy_hang_timeout=args.busy_hang_timeout_min * 60 or None,
         ))
 
     import jax

@@ -177,7 +177,7 @@ def test_supervise_hang_watchdog_kills_and_restarts(tmp_path):
     msgs = []
 
     def build(attempt):
-        return [sys.executable, "-c", script]
+        return [sys.executable, "-I", "-c", script]
 
     rc = supervise(
         build, max_restarts=2, restart_delay=0.0,
@@ -186,6 +186,57 @@ def test_supervise_hang_watchdog_kills_and_restarts(tmp_path):
     assert rc == 0
     assert any("killing hung child" in m for m in msgs)
     assert any("hang (no output)" in m for m in msgs)
+
+
+def test_supervise_busy_wedge_killed_early(tmp_path):
+    """A silent child that burns CPU (the relay-wedge signature: the
+    client spins inside a stalled device call — round-4 incident at
+    iter 4600) is killed at busy_hang_timeout, well before the full
+    hang_timeout that a remote compile legitimately needs."""
+    import time as _time
+
+    from unmore_tpu.train.supervisor import supervise
+
+    marker = str(tmp_path / "wedged_once")
+    # attempt 0: print once then spin silently; attempt 1: exit 0
+    script = (
+        "import os, sys\n"
+        f"if not os.path.exists({marker!r}):\n"
+        f"    open({marker!r}, 'w').close()\n"
+        "    print('starting', flush=True)\n"
+        "    while True:\n"
+        "        pass\n"
+        "sys.exit(0)\n"
+    )
+    msgs = []
+    t0 = _time.monotonic()
+    rc = supervise(
+        lambda attempt: [sys.executable, "-I", "-c", script],
+        max_restarts=1, restart_delay=0.0, log=msgs.append,
+        hang_timeout=300.0, busy_hang_timeout=8.0,
+    )
+    elapsed = _time.monotonic() - t0
+    assert rc == 0
+    assert any("relay wedge, not a compile" in m for m in msgs), msgs
+    assert elapsed < 60.0, f"busy wedge not killed early ({elapsed:.0f}s)"
+
+
+def test_supervise_idle_silence_gets_full_grace(tmp_path):
+    """A silent child at ~0% CPU (a remote compile blocking on the
+    network) must NOT trip the busy-wedge kill — only the full
+    hang_timeout applies."""
+    from unmore_tpu.train.supervisor import supervise
+
+    # sleeps silently past busy_hang_timeout, then finishes cleanly
+    script = "import time; print('up', flush=True); time.sleep(12); print('done', flush=True)"
+    msgs = []
+    rc = supervise(
+        lambda attempt: [sys.executable, "-I", "-c", script],
+        max_restarts=0, log=msgs.append,
+        hang_timeout=120.0, busy_hang_timeout=6.0,
+    )
+    assert rc == 0
+    assert not msgs, msgs
 
 
 def test_supervise_watchdog_spares_talkative_child(capfd):
@@ -201,7 +252,7 @@ def test_supervise_watchdog_spares_talkative_child(capfd):
     )
     msgs = []
     rc = supervise(
-        lambda attempt: [sys.executable, "-c", script],
+        lambda attempt: [sys.executable, "-I", "-c", script],
         max_restarts=0, log=msgs.append, hang_timeout=25.0,
     )
     assert rc == 0

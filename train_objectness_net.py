@@ -73,6 +73,12 @@ def parse_args(argv=None):
                         "it prints nothing for this long (relay-wedge hangs "
                         "never exit on their own; must outlast a cold remote "
                         "compile, ~20 min). 0 disables")
+    p.add_argument("--busy_hang_timeout_min", type=float, default=15.0,
+                   help="supervised runs only: kill + restart sooner when the "
+                        "silent child is also burning >25%% of a core — a "
+                        "wedged relay client spins, while a remote compile "
+                        "blocks at ~0%% CPU (graph tracing IS CPU-heavy, but "
+                        "minutes, not this long). 0 disables")
     p.add_argument("--remat_vit", action="store_true",
                    help="checkpoint ViT blocks (rematerialize in backward); "
                         "required for batch >= 96 on 16 GB parts — without "
@@ -608,6 +614,7 @@ def main(argv=None):
             build,
             args.max_restarts,
             hang_timeout=args.hang_timeout_min * 60 or None,
+            busy_hang_timeout=args.busy_hang_timeout_min * 60 or None,
         ))
 
     import jax

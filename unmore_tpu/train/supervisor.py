@@ -30,6 +30,22 @@ from unmore_tpu.train.resilience import FATAL_EXIT_CODE
 _USAGE_ERROR = 2
 
 
+def _cpu_seconds(pid: int) -> float | None:
+    """Cumulative user+system CPU seconds of ``pid`` (Linux /proc).
+
+    Returns None when unreadable (non-Linux, or the process exited) —
+    callers must then skip busy-hang detection for that sample.
+    """
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            fields = f.read().rsplit(b")", 1)[1].split()
+        # fields are those after comm: state is [0], utime [11], stime [12]
+        ticks = int(fields[11]) + int(fields[12])
+        return ticks / 100.0  # USER_HZ is 100 on every Linux this runs on
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def retryable(returncode: int) -> bool:
     """Should the supervisor relaunch after this child exit?
 
@@ -46,6 +62,7 @@ def _run_with_watchdog(
     argv: Sequence[str],
     hang_timeout: float,
     log: Callable[[str], None],
+    busy_hang_timeout: float | None = None,
 ) -> tuple[int, bool]:
     """Run the child with its stdout piped through us, killing it when
     no output arrives for ``hang_timeout`` seconds.
@@ -56,6 +73,17 @@ def _run_with_watchdog(
     watches exits leaves an unattended run dead in the water. Output
     is the liveness signal: the trainers print every log window, and
     the longest *legitimate* silence is a cold remote compile.
+
+    ``busy_hang_timeout`` (seconds, < hang_timeout) kills a *busy*
+    silent child early: the round-4 wedge burned ~90% CPU while silent
+    (the relay client spins), whereas the long legitimate silences —
+    remote compiles — block on the network at ~0% CPU. A child that is
+    both silent past busy_hang_timeout and has used >25% of a core over
+    that silent window cannot be compiling; it is wedged (the threshold
+    is low because a wedged spinner on a contended host may only get a
+    fraction of a core). Supervised
+    trainers print every log window (<1 min apart), so the early kill
+    has an order-of-magnitude margin over legitimate inter-output work.
     Returns (returncode, hung).
     """
     proc = subprocess.Popen(
@@ -73,24 +101,57 @@ def _run_with_watchdog(
     reader = threading.Thread(target=pump, daemon=True)
     reader.start()
     hung = False
+    # CPU accounting for the busy-wedge heuristic: snapshot at the
+    # start of every silent window, compare when the window exceeds
+    # busy_hang_timeout.
+    silent_anchor = last_output[0]
+    cpu_anchor = _cpu_seconds(proc.pid)
+
+    def _kill(why: str) -> int:
+        log(why)
+        proc.terminate()
+        try:
+            return proc.wait(timeout=30.0)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            return proc.wait()
+
     while True:
         try:
             rc = proc.wait(timeout=5.0)
             break
         except subprocess.TimeoutExpired:
-            if time.monotonic() - last_output[0] > hang_timeout:
+            now = time.monotonic()
+            silent_for = now - last_output[0]
+            if last_output[0] != silent_anchor:
+                # output arrived since the anchor: restart the window
+                silent_anchor = last_output[0]
+                cpu_anchor = _cpu_seconds(proc.pid)
+            if silent_for > hang_timeout:
                 hung = True
-                log(
+                rc = _kill(
                     f"supervisor: no child output for {hang_timeout:.0f}s; "
                     "killing hung child"
                 )
-                proc.terminate()
-                try:
-                    rc = proc.wait(timeout=30.0)
-                except subprocess.TimeoutExpired:
-                    proc.kill()
-                    rc = proc.wait()
                 break
+            if (
+                busy_hang_timeout is not None
+                and silent_for > busy_hang_timeout
+                and cpu_anchor is not None
+            ):
+                cpu_now = _cpu_seconds(proc.pid)
+                if (
+                    cpu_now is not None
+                    and (cpu_now - cpu_anchor) / silent_for > 0.25
+                ):
+                    hung = True
+                    rc = _kill(
+                        "supervisor: child silent "
+                        f"{silent_for:.0f}s while burning "
+                        f"{(cpu_now - cpu_anchor) / silent_for:.0%} CPU "
+                        "(relay wedge, not a compile); killing hung child"
+                    )
+                    break
     reader.join(timeout=5.0)
     return rc, hung
 
@@ -101,6 +162,7 @@ def supervise(
     restart_delay: float = 2.0,
     log: Callable[[str], None] = lambda msg: print(msg, flush=True),
     hang_timeout: float | None = None,
+    busy_hang_timeout: float | None = None,
 ) -> int:
     """Run ``build_argv(attempt)`` as a subprocess with bounded restarts.
 
@@ -119,7 +181,9 @@ def supervise(
         if attempt:
             log(f"supervisor: restart {attempt}/{max_restarts}: {' '.join(argv)}")
         if hang_timeout is not None:
-            rc, hung = _run_with_watchdog(argv, hang_timeout, log)
+            rc, hung = _run_with_watchdog(
+                argv, hang_timeout, log, busy_hang_timeout=busy_hang_timeout
+            )
         else:
             rc, hung = subprocess.run(argv).returncode, False
         if not hung and not retryable(rc):
