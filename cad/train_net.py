@@ -507,7 +507,7 @@ def main(argv=None):
             else:
                 if dist.is_main():
                     ckpt_writer.save(os.path.join(out_dir, f"model_{step_no:07d}.ckpt"), state)
-                    print(f"* saved checkpoint at iter {step_no}")
+                    print(f"* checkpoint scheduled at iter {step_no} (async; durable after drain)")
                 dist.barrier("ckpt")
         if solver["eval_period"] and (step_no % solver["eval_period"] == 0 or step_no == solver["max_iter"]):
             eval_state = maybe_precise_bn(state)

@@ -303,7 +303,7 @@ def train_center_and_boundary(args):
             else:
                 path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
                 ckpt_writer.save(path, state)
-                print(f"* saved checkpoint {path}")
+                print(f"* checkpoint scheduled {path} (async; durable after drain)")
         if step_no % args.visualize_every == 0:
             from unmore_tpu.utils.vis import dump_objectness_diagnostics
             import jax as _jax
@@ -542,7 +542,7 @@ def train_existence(args):
             else:
                 path = os.path.join(result_folder, "ckpt", f"iter_{step_no}_model.ckpt")
                 ckpt_writer.save(path, state)
-                print(f"* saved checkpoint {path}")
+                print(f"* checkpoint scheduled {path} (async; durable after drain)")
         if step_no % args.evaluate_every == 0:
             evaluate_classification(state, step_no, result_folder)
         if step_no % args.log_every == 0:

@@ -168,9 +168,29 @@ class AsyncCheckpointer:
         os.replace(path + ".tmp", path)
         return False
 
-    def wait(self) -> None:
+    def wait(self, progress_every: float | None = 60.0) -> None:
+        """Drain the in-flight save to durability.
+
+        The end-of-run drain pulls gigabytes through the relay with no
+        training steps left to interleave output — many minutes of
+        legitimate silence that a supervisor hang watchdog cannot tell
+        from a wedge. ``progress_every`` (seconds) prints a drain
+        heartbeat so supervised runs keep their liveness signal
+        (unmore_tpu/train/supervisor.py watches child stdout)."""
+        import time
+
+        last = time.monotonic()
         while self.pump():
-            pass
+            if progress_every is not None:
+                now = time.monotonic()
+                if now - last >= progress_every:
+                    last = now
+                    written = self._file.tell() if self._file else 0
+                    print(
+                        f"checkpoint drain: {self._next}/{len(self._plan)} tokens, "
+                        f"{written / 1e6:.0f} MB written",
+                        flush=True,
+                    )
 
 
 def load_checkpoint(path: str, target=None):
