@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--canvas_size", type=int, default=640)
     p.add_argument("--max_proposals", type=int, default=2048)
     p.add_argument("--max_active", type=int, default=1024)
+    p.add_argument("--max_splits", type=int, default=2048,
+                   help="per-image split/CC lattice capacity; raise when "
+                        "the stats lines show split_overflow > 0 on dense "
+                        "scenes (dropped split candidates can cost recall)")
     p.add_argument("--image_batch", type=int, default=1,
                    help="images discovered per shared proposal lattice")
     p.add_argument("--crop_chunk", type=int, default=256,
@@ -127,6 +131,7 @@ def main(argv=None):
         image_batch=args.image_batch,
         max_proposals=args.max_proposals,
         max_active=args.max_active,
+        max_splits=args.max_splits,
         crop_chunk=args.crop_chunk,
         crop_chunk_tail=args.crop_chunk_tail,
         exist_chunk=args.exist_chunk,
