@@ -128,13 +128,17 @@ step_cad() {
   T "cad done"
 }
 
-# ---- step 8: sticky-convergence A/B at scale (150-scene subset
-# including the dense tail; reference leg is ~3.2x the sticky leg) ---
+# ---- step 8: sticky-convergence A/B on the dense tail (scenes 0-40,
+# ~1,700 annotations — the packed regime round 3's 24 sparse scenes
+# never sampled; the r3 sparse A/B stands as the other data point).
+# Sized to the wall clock: the reference leg runs ~3.2x the sticky
+# leg, and dense scenes are ~3x sparse ones, so 40 dense scenes
+# already cost ~2.5h for both legs -------------------------------
 step_sticky_ab() {
   T "sticky_ab start"
   python -u "$REPO/scripts/sticky_ab.py" --synth "$SYNTH" \
     --objectness "$OBJ_CKPT" --classifier "$CLS_CKPT" \
-    --canvas_size 512 --image_batch 4 --start_idx 0 --end_idx 150 \
+    --canvas_size 512 --image_batch 4 --start_idx 0 --end_idx 40 \
     2>&1 | tee "$WORK/sticky_ab_r4.log"
   T "sticky_ab done"
 }
