@@ -24,7 +24,9 @@ LINE = re.compile(r"\[\d+/\d+\] image (\d+): (\{.*\}) \(([\d.]+) img/s\)")
 
 def parse_logs(paths):
     recs = {}
+    rates = []  # (n_images, final cumulative img/s) per log/segment
     for path in paths:
+        n_seg, last_rate = 0, None
         with open(path) as f:
             for line in f:
                 m = LINE.search(line)
@@ -33,7 +35,11 @@ def parse_logs(paths):
                 img = int(m.group(1))
                 stats = ast.literal_eval(m.group(2))
                 recs[img] = stats  # retries overwrite: last attempt wins
-    return recs
+                n_seg += 1
+                last_rate = float(m.group(3))
+        if n_seg and last_rate:
+            rates.append((n_seg, last_rate))
+    return recs, rates
 
 
 PER_IMAGE_KEYS = ("n_final", "n_converged", "n_exist")
@@ -94,8 +100,17 @@ def main():
     ap.add_argument("--dense_upto", type=int, default=50)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    recs = parse_logs(args.logs)
+    recs, rates = parse_logs(args.logs)
     summary = summarize(recs, args.dense_upto)
+    if rates:
+        # each segment's printed rate is cumulative within its process;
+        # aggregate = total images / total time reconstructed per segment
+        total_imgs = sum(n for n, _ in rates)
+        total_time = sum(n / r for n, r in rates)
+        summary["images_per_sec"] = round(total_imgs / total_time, 4)
+        summary["segments"] = [
+            {"images": n, "images_per_sec": r} for n, r in rates
+        ]
     print(json.dumps(summary, indent=2))
     if args.out:
         with open(args.out, "w") as f:

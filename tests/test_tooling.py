@@ -135,7 +135,9 @@ def test_parse_discovery_stats_dedupes_group_counters(tmp_path):
     log = tmp_path / "d.log"
     log.write_text("\n".join(lines) + "\n")
 
-    out = summarize(parse_logs([str(log)]), dense_upto=1)
+    recs, rates = parse_logs([str(log)])
+    assert rates == [(3, 0.061)]  # per-segment (n_images, last cumulative rate)
+    out = summarize(recs, dense_upto=1)
     assert out["all"]["images"] == 3
     assert out["all"]["image_groups"] == 2
     assert out["all"]["final_boxes"] == 2 + 3 + 4
