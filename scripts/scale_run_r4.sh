@@ -13,7 +13,11 @@
 set -euo pipefail
 
 REPO=/root/repo
-SYNTH=/tmp/synth500          # scripts/make_synthetic_shapes.py --stage1_n 1200 --scenes 500 --dense 50
+SYNTH=/tmp/synth500          # scripts/make_synthetic_shapes.py --out /tmp/synth500 \
+                             #   --stage1_n 1200 --scenes 500 --dense_frac 0.2 --dense_objects 50
+                             # (+ scripts/make_imagenet_training_json.py --synth /tmp/synth500
+                             #    --out /tmp/synth500/imagenet_training.json for the merge step)
+                             # dense scenes are image ids 1..100 (scene index < n*dense_frac)
 WORK=${WORK:-/root/scale_r4} # results_reasoning/ etc. live here, outside the repo
 OBJ_CKPT=$REPO/results_objectness/center_and_boundary/s1_r4/ckpt/iter_5000_model.ckpt
 CLS_CKPT=$REPO/results_objectness/existence/exist_r4/ckpt/iter_500_model.ckpt
@@ -72,7 +76,7 @@ with open("results_reasoning/disc_r4/discovery_results.json", "w") as f:
 print("merged", len(merged), "images")
 EOF
   python "$REPO/scripts/parse_discovery_stats.py" disc_r4_*.log \
-    --dense_upto 50 --out "$WORK/discovery_stats_r4.json"
+    --dense_upto 100 --out "$WORK/discovery_stats_r4.json"
 }
 
 # ---- step 3: scoring (batched sharded engine; paste-back fraction
