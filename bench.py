@@ -33,15 +33,29 @@ PEAK_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0, "v5p": 459.0, "v6 li
 
 
 def _sticky_ab_ratio() -> dict:
-    """Measured sticky-vs-reference crop/AP deltas, if the A/B ran."""
+    """Measured sticky-vs-reference crop/AP deltas, if the A/B ran.
+
+    Carries the A/B's provenance (scene count + when it was recorded,
+    stamped by scripts/sticky_ab.py since r5) so a consumer can tell a
+    fresh measurement from a stale file (VERDICT r4 weak #3)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "scripts", "sticky_ab_results.json")
     try:
         with open(path) as f:
-            delta = json.load(f)["delta"]
+            data = json.load(f)
+        delta = data["delta"]
+        meta = data.get("sticky", {}).get("meta")
+        if meta and data.get("delta_legs_comparable", True):
+            basis = (
+                f"{meta['n_images']} images (idx {meta['start_idx']}..{meta['end_idx']})"
+                f" recorded {meta['recorded_utc']}"
+            )
+        else:
+            basis = "STALE: unstamped or mismatched legs — do not cite as fresh"
         return {
             "boundary_crops_vs_reference_style": delta["boundary_crop_ratio"],
             "sticky_ab_bbox_ap50_delta": delta["bbox_AP50"],
+            "sticky_ab_basis": basis,
         }
     except Exception:
         return {}

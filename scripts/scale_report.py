@@ -24,33 +24,49 @@ import re
 
 
 def parse_timings(path: str) -> dict:
-    """``HH:MM:SS label ... start|done`` pairs -> stage wall seconds."""
+    """``HH:MM:SS [@epoch] label ... start|done`` pairs -> stage wall seconds.
+
+    The optional ``@<epoch-seconds>`` field (written by the chain's T()
+    since round 5) is exact across any number of midnights; the
+    clock-only fallback handles one wrap (ADVICE r4).
+    """
     if not os.path.isfile(path):
         return {}
     starts, out = {}, {}
     with open(path) as f:
         for line in f:
-            m = re.match(r"(\d\d):(\d\d):(\d\d) (.+)", line.strip())
+            m = re.match(r"(\d\d):(\d\d):(\d\d) (?:@(\d+) )?(.+)", line.strip())
             if not m:
                 continue
-            t = int(m.group(1)) * 3600 + int(m.group(2)) * 60 + int(m.group(3))
-            label = m.group(4)
+            if m.group(4):
+                t, exact = int(m.group(4)), True
+            else:
+                t = int(m.group(1)) * 3600 + int(m.group(2)) * 60 + int(m.group(3))
+                exact = False
+            label = m.group(5)
             if label.endswith(" start"):
-                starts[label[:-6]] = t
+                starts[label[:-6]] = (t, exact)
             elif label.endswith(" done"):
                 stage = label[:-5]
                 # "post start" pairs with "post+eval done"
                 key = "post" if stage == "post+eval" else stage
                 if key in starts:
-                    dt = t - starts.pop(key)
-                    if dt < 0:  # midnight wrap
+                    t0, exact0 = starts.pop(key)
+                    dt = t - t0
+                    if dt < 0 and not (exact and exact0):  # midnight wrap
                         dt += 24 * 3600
                     out[stage] = dt
     return out
 
 
 def parse_scoring_log(path: str) -> dict:
-    """Pull the final timing split + throughput from the scoring CLI log."""
+    """Pull the timing split + throughput from the scoring CLI log.
+
+    A multi-process sharded run interleaves one final split line per
+    shard: device/host seconds are SUMMED across shards and
+    ``n_scoring_shards`` reports how many were seen (ADVICE r4 —
+    previously only the last shard's split survived).
+    """
     if not os.path.isfile(path):
         return {}
     out: dict = {}
@@ -58,13 +74,14 @@ def parse_scoring_log(path: str) -> dict:
         r"timing split: device ([\d.]+)s, host tail ([\d.]+)s \(host/device ([\d.]+)\)"
     )
     rate = re.compile(r"\[(\d+)/(\d+)\] images .*?\(([\d.]+) img/s\)")
+    device_s, host_s, shards = 0.0, 0.0, 0
     with open(path) as f:
         for line in f:
             m = split.search(line)
             if m:
-                out["device_s"] = float(m.group(1))
-                out["host_tail_s"] = float(m.group(2))
-                out["host_over_device"] = float(m.group(3))
+                device_s += float(m.group(1))
+                host_s += float(m.group(2))
+                shards += 1
             m = rate.search(line)
             if m:
                 out["images_done"] = int(m.group(1))
@@ -72,6 +89,14 @@ def parse_scoring_log(path: str) -> dict:
                 out["images_per_sec"] = float(m.group(3))
             if line.startswith("# of final annotations"):
                 out["final_annotations"] = int(line.rsplit(None, 1)[-1])
+    if shards:
+        out["device_s"] = round(device_s, 1)
+        out["host_tail_s"] = round(host_s, 1)
+        out["host_over_device"] = round(host_s / max(device_s, 1e-9), 3)
+        out["n_scoring_shards"] = shards
+        if shards > 1:
+            # the [k/n] progress rate is per-shard; flag it
+            out["images_per_sec_is_per_shard"] = True
     return out
 
 
@@ -140,15 +165,39 @@ def main():
         report["cad_final_eval"] = {"file": cad_name, "metrics": cad_metrics}
     report["cad_train"] = parse_cad_log(os.path.join(W, "cad_r4.log"))
 
+    failed = os.path.join(W, "failed_steps.txt")
+    failed_steps: list = []
+    if os.path.isfile(failed):
+        with open(failed) as f:
+            failed_steps = [l.strip() for l in f if l.strip()]
+        report["failed_steps"] = failed_steps
+
+    # sticky A/B with freshness verification (ADVICE r4, medium): only
+    # label the results "dense" when they are verifiably NOT the stale
+    # round-3 sparse archive and the step didn't fail
     sticky_path = os.path.join(args.repo, "scripts", "sticky_ab_results.json")
     if os.path.isfile(sticky_path):
         with open(sticky_path) as f:
-            report["sticky_ab_dense"] = json.load(f)
-
-    failed = os.path.join(W, "failed_steps.txt")
-    if os.path.isfile(failed):
-        with open(failed) as f:
-            report["failed_steps"] = [l.strip() for l in f if l.strip()]
+            raw = f.read()
+        sticky = json.loads(raw)
+        arch = os.path.join(args.repo, "scripts", "sticky_ab_results_r3_sparse.json")
+        stale_reason = None
+        if os.path.isfile(arch):
+            with open(arch) as f:
+                if f.read() == raw:
+                    stale_reason = "byte-identical to the r3 sparse archive"
+        if any("sticky" in s for s in failed_steps):
+            stale_reason = stale_reason or "step_sticky_ab in failed_steps"
+        metas = [sticky.get(m, {}).get("meta") for m in ("sticky", "reference_rounds")]
+        if stale_reason is None and not all(metas):
+            stale_reason = "legs lack a provenance stamp (pre-r5 run)"
+        if stale_reason is None and sticky.get("delta_legs_comparable") is False:
+            stale_reason = "legs ran on different worlds (meta mismatch)"
+        if stale_reason is None:
+            report["sticky_ab_dense"] = sticky
+        else:
+            report["sticky_ab_dense"] = None
+            report["sticky_ab_stale"] = {"reason": stale_reason, "results": sticky}
 
     text = json.dumps(report, indent=2)
     print(text)

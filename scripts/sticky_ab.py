@@ -134,6 +134,23 @@ def main():
         variables=variables,
     )
 
+    # provenance stamp (ADVICE r4): bench.py and scale_report.py must be
+    # able to tell a fresh A/B from a stale merge of an older world
+    import datetime
+
+    run_meta = {
+        "n_images": len(dataset),
+        "start_idx": args.start_idx,
+        "end_idx": args.end_idx,
+        "synth": args.synth,
+        "max_active": args.max_active,
+        "max_splits": args.max_splits,
+        "recorded_utc": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M"
+        ),
+        "backend": jax.default_backend(),
+    }
+
     on_tpu_early = jax.default_backend() == "tpu"
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -172,6 +189,7 @@ def main():
                 anns.extend(a)
         metrics = evaluate_ap(gt, anns, iou_types=("bbox", "segm"))
         report[mode] = {
+            "meta": dict(run_meta),
             "bbox_AP": round(metrics["bbox"]["AP"], 4),
             "bbox_AP50": round(metrics["bbox"]["AP50"], 4),
             "segm_AP": round(metrics["segm"]["AP"], 4),
@@ -189,6 +207,14 @@ def main():
 
     if "sticky" in report and "reference_rounds" in report:
         s, r = report["sticky"], report["reference_rounds"]
+        # a merged file can pair legs from different runs/worlds: the
+        # delta is only meaningful when both legs saw the same images
+        sm, rm = s.get("meta", {}), r.get("meta", {})
+        same_world = all(
+            sm.get(k) == rm.get(k)
+            for k in ("n_images", "start_idx", "end_idx", "synth", "max_active")
+        )
+        report["delta_legs_comparable"] = bool(same_world and sm and rm)
         report["delta"] = {
             "bbox_AP50": round(s["bbox_AP50"] - r["bbox_AP50"], 4),
             "segm_AP50": round(s["segm_AP50"] - r["segm_AP50"], 4),

@@ -50,6 +50,85 @@ def test_parse_scoring_log(tmp_path):
     assert out["final_annotations"] == 5170
 
 
+def test_parse_timings_epoch_field_spans_days(tmp_path):
+    sr = _load()
+    p = tmp_path / "scale_timings.txt"
+    # @epoch lines: a stage spanning >24h is exact (the clock-only
+    # fallback would underreport by whole days — ADVICE r4)
+    p.write_text(
+        "10:00:00 @100000 cad start\n"
+        "10:30:00 @190000 cad done\n"  # 25h later, same-ish clock time
+        "09:00:00 @200000 scoring start\n"
+        "08:59:00 @200120 scoring done\n"  # clock went "backwards"
+    )
+    out = sr.parse_timings(str(p))
+    assert out["cad"] == 90000
+    assert out["scoring"] == 120  # no bogus +24h wrap when epochs are exact
+
+
+def test_parse_scoring_log_sums_shards(tmp_path):
+    sr = _load()
+    p = tmp_path / "scoring.log"
+    p.write_text(
+        "[250/250] images [247, 248, 249, 250]: (2.0 img/s)\n"
+        "timing split: device 100.0s, host tail 10.0s (host/device 0.100)\n"
+        "[250/250] images [497, 498, 499, 500]: (2.0 img/s)\n"
+        "timing split: device 150.0s, host tail 40.0s (host/device 0.267)\n"
+    )
+    out = sr.parse_scoring_log(str(p))
+    assert out["device_s"] == 250.0 and out["host_tail_s"] == 50.0
+    assert out["host_over_device"] == 0.2
+    assert out["n_scoring_shards"] == 2
+    assert out["images_per_sec_is_per_shard"] is True
+
+
+def test_sticky_freshness_gate(tmp_path):
+    """The report must not label stale/unstamped A/B results as dense
+    (ADVICE r4 medium)."""
+    import json
+    import subprocess
+    import sys
+
+    work = tmp_path / "work"
+    work.mkdir()
+    repo = tmp_path / "repo"
+    (repo / "scripts").mkdir(parents=True)
+    sparse = {"sticky": {"bbox_AP50": 0.5}, "delta": {"bbox_AP50": 0.01}}
+    (repo / "scripts" / "sticky_ab_results.json").write_text(json.dumps(sparse))
+    (repo / "scripts" / "sticky_ab_results_r3_sparse.json").write_text(json.dumps(sparse))
+
+    def run():
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "scale_report.py"),
+             "--work", str(work), "--repo", str(repo)],
+            capture_output=True, text=True, check=True,
+        )
+        return json.loads(out.stdout)
+
+    rep = run()
+    assert rep["sticky_ab_dense"] is None
+    assert "r3 sparse archive" in rep["sticky_ab_stale"]["reason"]
+
+    # fresh, stamped, comparable legs pass the gate
+    meta = {"n_images": 40, "start_idx": 0, "end_idx": 40, "synth": "/tmp/s",
+            "max_active": None, "recorded_utc": "2026-08-18 10:00"}
+    fresh = {
+        "sticky": {"meta": meta, "bbox_AP50": 0.5},
+        "reference_rounds": {"meta": meta, "bbox_AP50": 0.49},
+        "delta": {"bbox_AP50": 0.01},
+        "delta_legs_comparable": True,
+    }
+    (repo / "scripts" / "sticky_ab_results.json").write_text(json.dumps(fresh))
+    rep = run()
+    assert rep["sticky_ab_dense"]["delta"]["bbox_AP50"] == 0.01
+    assert "sticky_ab_stale" not in rep
+
+    # a failed step marks even a stamped file stale
+    (work / "failed_steps.txt").write_text("step_sticky_ab\n")
+    rep = run()
+    assert rep["sticky_ab_dense"] is None
+
+
 def test_parse_cad_log(tmp_path):
     sr = _load()
     p = tmp_path / "cad_r4.log"
