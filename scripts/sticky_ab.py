@@ -80,6 +80,7 @@ def main():
                          "GT is filtered to the subset for evaluation")
     ap.add_argument("--end_idx", type=int, default=-1)
     ap.add_argument("--sdf_activation", default=None)
+    ap.add_argument("--backbone_type", default="dpt_large")
     ap.add_argument("--use_bg_sdf", action="store_true", default=True)
     ap.add_argument("--out", default=None)
     ap.add_argument("--modes", default="sticky,reference_rounds",

@@ -343,3 +343,60 @@ def test_sharded_segmented_matches_sharded_fused():
     for a, b in zip(rs, rf):
         np.testing.assert_array_equal(a["boxes"], b["boxes"])
         assert a["stats"] == b["stats"]
+
+
+def test_rank_keep_sheds_lowest_scores():
+    from unmore_tpu.reasoning.engine import _rank_keep
+
+    valid = jnp.array([True, True, False, True, True])
+    scores = jnp.array([0.9, 0.2, 0.5, 0.2, 0.7])
+    keep, overflow = _rank_keep(valid, scores, 2)
+    assert int(overflow) == 2
+    np.testing.assert_array_equal(np.asarray(keep), [True, False, False, False, True])
+    # ties keep lattice order (stable): with all scores equal the first
+    # out_slots valid rows survive — identical to plain compaction
+    keep2, ov2 = _rank_keep(jnp.ones(4, bool), jnp.full((4,), 0.5), 2)
+    np.testing.assert_array_equal(np.asarray(keep2), [True, True, False, False])
+    assert int(ov2) == 2
+    # no overflow -> keep == valid, overflow 0 (bit-identical path)
+    keep3, ov3 = _rank_keep(valid, scores, 4)
+    np.testing.assert_array_equal(np.asarray(keep3), np.asarray(valid))
+    assert int(ov3) == 0
+
+
+def test_boundary_overflow_sheds_weakest_candidates():
+    # 12 single-object proposals, alternating strong (ch0=1.0, existence
+    # score 1.0) and weak (0.6) — demand 12 > max_active 8 must shed the
+    # 4 weakest by existence score, NOT the last 4 in lattice order
+    # (reference keeps unbounded lists, object_reasoning.py:615-666;
+    # plain compaction dropped splits-last regardless of merit).
+    objs = [(10 + 15 * k, 10, 22 + 15 * k, 22) for k in range(12)]
+    world = make_world(200, objs)
+    cfg = ReasoningConfig(
+        canvas_size=200, image_batch=1,
+        max_proposals=16, max_splits=16, max_active=8,
+        crop_chunk=8, crop_chunk_tail=8, n_round=4, analyze_cc=False,
+    )
+    engine = ObjectDiscoveryEngine(fake_objectness, fake_classifier, cfg)
+    canvases = jnp.asarray(world[None])
+    hw = jnp.array([[200.0, 200.0]])
+    boxes = np.zeros((16, 4), np.float32)
+    boxes[:12] = np.asarray(objs, np.float32)
+    valid = np.zeros(16, bool)
+    valid[:12] = True
+    idx = np.zeros(16, np.int32)
+    act_boxes, act_idx, act_valid, stats = jax.jit(engine._core_pre)(
+        engine.variables, canvases, hw,
+        jnp.asarray(boxes), jnp.asarray(idx), jnp.asarray(valid),
+    )
+    assert int(stats["n_boundary_in"]) == 12
+    assert int(stats["active_overflow"]) == 4
+    kept = np.asarray(act_boxes)[np.asarray(act_valid)]
+    kept_set = {tuple(b) for b in kept.tolist()}
+    strong = {tuple(map(float, objs[k])) for k in range(0, 12, 2)}
+    weak_first = {tuple(map(float, objs[k])) for k in (1, 3)}
+    # every strong candidate survives; the remaining 2 slots go to the
+    # first weak candidates in lattice order (stable tie-break)
+    assert strong <= kept_set, f"missing strong: {strong - kept_set}"
+    assert weak_first <= kept_set
+    assert len(kept_set) == 8

@@ -202,6 +202,33 @@ def _compact(boxes: jax.Array, valid: jax.Array, out_slots: int, extras=()):
     return boxes, out_valid, out_extras, n_valid, overflow
 
 
+def _rank_keep(valid: jax.Array, scores: jax.Array, out_slots: int):
+    """Score-ranked overflow shedding for a fixed-size lattice.
+
+    The reference keeps unbounded Python candidate lists
+    (``object_reasoning.py:615-666``) and never truncates; our fixed
+    lattices must shed when demand exceeds ``out_slots``. Plain
+    compaction sheds in lattice order — splits, concatenated last, are
+    dropped first regardless of merit. This instead keeps the
+    ``out_slots`` highest-scoring valid rows (existence score), so
+    overflow sheds the weakest candidates.
+
+    Stable: equal scores keep lattice order (originals before splits —
+    the reference's own ordering is the tie-break), and with no
+    overflow ``keep == valid`` so results are bit-identical to plain
+    compaction. Returns ``(keep, overflow)``.
+    """
+    key = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    perm = jnp.argsort(-key, stable=True)  # desc score; ties keep lattice order
+    rank = (
+        jnp.zeros(key.shape[0], jnp.int32)
+        .at[perm]
+        .set(jnp.arange(key.shape[0], dtype=jnp.int32))
+    )
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    return valid & (rank < out_slots), jnp.maximum(n_valid - out_slots, 0)
+
+
 def _live_prefix_map(chunk_fn, boxes, idx, n_live, chunk: int, tail: int, out_init):
     """Run chunk_fn over the live prefix in two chunk tiers.
 
@@ -364,15 +391,21 @@ class ObjectDiscoveryEngine:
         return boxes, idx, valid, jnp.where(valid, scores, 0.0)
 
     # --------------------------------------------------------------- center
-    def _center_phase(self, variables, canvases, hw, boxes, idx, valid, analyze_cc: bool):
+    def _center_phase(self, variables, canvases, hw, boxes, idx, valid, analyze_cc: bool,
+                      extras=()):
         """Singularity check + box splitting + CC analysis (reference :525-580).
 
         hw: [B, 2] per-image (h, w) float.
+        extras: optional [K, ...] arrays carried through the internal
+        compaction (returned, re-aligned, under ``result["extras"]``) —
+        lets the caller keep per-box existence scores aligned for
+        score-ranked overflow shedding downstream.
         """
         c = self.cfg
         S = c.crop_size
         K = boxes.shape[0]
-        boxes, valid, (idx,), n_live, _ = _compact(boxes, valid, K, extras=(idx,))
+        boxes, valid, ex, n_live, _ = _compact(boxes, valid, K, extras=(idx,) + tuple(extras))
+        idx, extras = ex[0], ex[1:]
 
         def chunk_fn(bc, ic):
             crops = crop_and_resize(
@@ -438,6 +471,7 @@ class ObjectDiscoveryEngine:
             "split_valid": split_valid.reshape(-1),
             "split_idx": split_idx.reshape(-1),
             "singularity_scores": outs["sing"],
+            "extras": extras,
         }
 
         if analyze_cc:
@@ -653,9 +687,14 @@ class ObjectDiscoveryEngine:
         n_exist = jax.ops.segment_sum(valid.astype(jnp.int32), idx, num_segments=B)
         n_center_in = jnp.sum(valid.astype(jnp.int32))
 
-        # step 2: center reasoning (+ optional CC analysis)
-        center_out = self._center_phase(variables, canvases, hw, boxes, idx, valid, analyze_cc=c.analyze_cc)
+        # step 2: center reasoning (+ optional CC analysis); existence
+        # scores ride along so the boundary-lattice shed is score-ranked
+        center_out = self._center_phase(
+            variables, canvases, hw, boxes, idx, valid,
+            analyze_cc=c.analyze_cc, extras=(scores,),
+        )
         boxes, idx, passed = center_out["boxes"], center_out["idx"], center_out["passed"]
+        (scores,) = center_out["extras"]
         split_boxes = center_out["split_boxes"]
         split_valid = center_out["split_valid"]
         split_idx = center_out["split_idx"]
@@ -678,15 +717,22 @@ class ObjectDiscoveryEngine:
         split_valid = split_valid & (s_scores >= c.class_score_thres)
         n_recheck = jnp.sum(split_valid.astype(jnp.int32))
         recheck = self._center_phase(
-            variables, canvases, hw, split_boxes, split_idx, split_valid, analyze_cc=False
+            variables, canvases, hw, split_boxes, split_idx, split_valid,
+            analyze_cc=False, extras=(s_scores,),
         )
         split_boxes, split_idx, split_passed = recheck["boxes"], recheck["idx"], recheck["passed"]
+        (s_scores,) = recheck["extras"]
 
         all_boxes = jnp.concatenate([boxes, split_boxes], axis=0)
         all_idx = jnp.concatenate([idx, split_idx], axis=0)
         all_valid = jnp.concatenate([passed, split_passed], axis=0)
-        act_boxes, act_valid, act_idx, n_act, act_overflow = self._compact_with_idx(
-            all_boxes, all_valid, all_idx, out_slots=c.max_active * B
+        all_scores = jnp.concatenate([scores, s_scores], axis=0)
+        # demand counted BEFORE any shedding (n_boundary_in keeps its
+        # meaning: total surviving candidates, may exceed the lattice)
+        n_act = jnp.sum(all_valid.astype(jnp.int32))
+        keep, act_overflow = _rank_keep(all_valid, all_scores, c.max_active * B)
+        act_boxes, act_valid, act_idx, _, _ = self._compact_with_idx(
+            all_boxes, keep, all_idx, out_slots=c.max_active * B
         )
         stats = {
             "n_exist": n_exist,
