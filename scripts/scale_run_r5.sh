@@ -77,7 +77,7 @@ step_world() {
     python -u "$REPO/scripts/make_imagenet_training_json.py" \
       --synth "$SYNTH" --out "$SYNTH/imagenet_training.json"
   fi
-  python -c "from unmore_tpu import native; assert native.build()"
+  (cd "$REPO" && python -c "from unmore_tpu import native; assert native.build()")
   T "world done"
 }
 

@@ -61,3 +61,31 @@ def test_iou_including_crowd():
     assert abs(m[0, 0] - 25 / 75) < 1e-9
     m = rle.iou([ra], [rb], iscrowd=[1])
     assert abs(m[0, 0] - 25 / 50) < 1e-9
+
+
+def test_known_vectors_multichar_and_negative_delta():
+    """Byte-exact vectors hand-derived from the published COCO counts
+    spec (maskApi.c rleToString: 5-bit groups, bit 0x20 = continuation,
+    sign-extended termination, +48 ASCII offset; deltas vs runs[i-2]
+    from the 3rd run on). Derived on paper from the spec, independent
+    of this codec — extends the single-char vectors above to the
+    multi-char and negative-delta encodings (VERDICT r4 item 7)."""
+    from unmore_tpu.utils.rle import decode_counts, encode_counts
+
+    # 32 needs two chars: low5=0 + continuation -> 'P', then 1 -> '1'
+    assert encode_counts(np.array([32])) == "P1"
+    # full sequence exercising multi-char positive, multi-char negative,
+    # and single-char negative deltas:
+    # runs [5, 100, 3, 2, 300, 1] -> deltas [5, 100, 3, -98, 297, -1]
+    #   5    -> '5'
+    #   100  -> 'T3'   (4|0x20 -> 'T', then 3 -> '3')
+    #   3    -> '3'
+    #   -98  -> 'nL'   (30|0x20 -> 'n', then 28 sign-terminated -> 'L')
+    #   297  -> 'Y9'   (9|0x20 -> 'Y', then 9 -> '9')
+    #   -1   -> 'O'    (31 sign-terminated)
+    assert encode_counts(np.array([5, 100, 3, 2, 300, 1])) == "5T33nLY9O"
+    np.testing.assert_array_equal(
+        decode_counts("5T33nLY9O"), [5, 100, 3, 2, 300, 1]
+    )
+    # all-foreground 6x6 mask: runs [0, 36] -> '0' + 'T1'
+    assert rle.encode(np.ones((6, 6), np.uint8))["counts"] == "0T1"
