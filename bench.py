@@ -320,6 +320,26 @@ def main():
     except Exception:
         pass
     try:
+        # CPU-mesh scaling honesty check (scripts/mesh_scaling_bench.py):
+        # shard_map scaling efficiency of the production discovery/scoring
+        # programs at 8 virtual devices + the scoring host tail's share
+        p = os.path.join(here, "scripts", "mesh_scaling_results.json")
+        with open(p) as f:
+            ms = json.load(f)
+        extra["cpu_mesh_scaling_8dev"] = {
+            "discovery_speedup": ms["discovery"]["speedup_8dev"],
+            "discovery_efficiency": ms["discovery"]["efficiency_8dev"],
+            "scoring_speedup": ms["scoring"]["speedup_8dev"],
+            "scoring_efficiency": ms["scoring"]["efficiency_8dev"],
+            "scoring_host_share": ms["scoring"]["host_share_8dev"],
+            "host_cores": ms["meta"].get("host_cores"),
+            "ideal_speedup": ms["meta"].get("ideal_speedup"),
+            "recorded_on": recorded_on(p),
+            "note": ms["meta"].get("note"),
+        }
+    except Exception:
+        pass
+    try:
         p = os.path.join(here, "scripts", "stage1_train_results.json")
         with open(p) as f:
             s1 = json.load(f)
@@ -338,7 +358,13 @@ def main():
                 "value": round(value, 4),
                 "unit": "images/sec",
                 "vs_baseline": round(value / 500.0, 6),
-                "basis": "recorded convergence schedule from a trained-weights end-to-end run (scripts/recorded_stage2_load.json, refreshed each round — r3's weights split more so its load is ~9% heavier than r2's at identical MFU); pinned_images_per_sec is the round-1-comparable fixed load",
+                "basis": (
+                    "recorded convergence schedule from "
+                    f"{rec.get('basis', 'a trained-weights end-to-end run')} "
+                    f"(scripts/recorded_stage2_load.json, recorded "
+                    f"{rec.get('recorded_utc', 'pre-r5')}); "
+                    "pinned_images_per_sec is the round-1-comparable fixed load"
+                ),
                 "device": jax.devices()[0].device_kind,
                 # the CLI shards image groups over all local devices
                 # (ObjectDiscoveryEngine(devices=...)); this measurement

@@ -1,17 +1,21 @@
-"""Assemble the round-4 scale-validation report from the chain's artifacts.
+"""Assemble the scale-validation report from the chain's artifacts.
 
-The unattended chain (scripts/scale_chain_r4.sh -> scale_run_r4.sh)
+The unattended chain (scripts/scale_chain_r5.sh -> scale_run_r5.sh)
 leaves its evidence scattered across $WORK: stage wall-clocks in
 ``scale_timings.txt``, per-image discovery stats in
-``discovery_stats_r4.json`` (via parse_discovery_stats.py), the scoring
-CLI's device/host timing split in ``scoring_r4.log``, pseudo-label AP in
-``ap_score_pseudo.json``, the CAD run's metrics JSONs, and the dense
-sticky A/B in ``sticky_ab_results.json``. This script folds them into
-one JSON (and a readable table) for STATUS.md — run it once when the
-chain finishes:
+``discovery_stats_<tag>.json`` (via parse_discovery_stats.py), the
+scoring CLI's device/host timing split in ``scoring_<tag>.log``,
+pseudo-label AP in ``ap_score_pseudo.json``, the CAD run's metrics
+JSONs, and the dense-tail A/Bs (``sticky_ab_results.json``,
+``max_active_ab_results.json``). This script folds them into one JSON
+(and a readable table) for STATUS.md — run it once when the chain
+finishes:
 
-    python scripts/scale_report.py --work /root/scale_r4 \
-        --out /root/scale_r4/scale_report.json
+    python scripts/scale_report.py --work /root/scale_r5 \
+        --out /root/scale_r5/scale_report.json
+
+``--tag`` defaults to auto-detection from the work dir's artifact names
+(r5, r4, ...).
 """
 
 from __future__ import annotations
@@ -137,33 +141,52 @@ def newest_json(pattern: str):
         return os.path.basename(p), json.load(f)
 
 
+def detect_tag(work: str) -> str:
+    """Pick the chain tag (r5, r4, ...) from the work dir's artifacts."""
+    hits = glob.glob(os.path.join(work, "discovery_stats_*.json")) + glob.glob(
+        os.path.join(work, "scoring_*.log")
+    )
+    tags = sorted(
+        {m.group(1) for p in hits for m in [re.search(r"_(r\d+)\.(?:json|log)$", p)] if m}
+    )
+    return tags[-1] if tags else "r5"
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--work", default="/root/scale_r4")
+    ap.add_argument("--work", default="/root/scale_r5")
     ap.add_argument("--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ap.add_argument("--tag", default=None, help="chain tag (default: auto-detect)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     W = args.work
+    tag = args.tag or detect_tag(W)
 
-    report: dict = {"work_dir": W}
+    report: dict = {"work_dir": W, "tag": tag}
     report["stage_wall_s"] = parse_timings(os.path.join(W, "scale_timings.txt"))
 
-    disc_path = os.path.join(W, "discovery_stats_r4.json")
+    disc_path = os.path.join(W, f"discovery_stats_{tag}.json")
     if os.path.isfile(disc_path):
         with open(disc_path) as f:
             report["discovery"] = json.load(f)
 
-    report["scoring"] = parse_scoring_log(os.path.join(W, "scoring_r4.log"))
+    report["scoring"] = parse_scoring_log(os.path.join(W, f"scoring_{tag}.log"))
 
     ap_path = os.path.join(W, "ap_score_pseudo.json")
     if os.path.isfile(ap_path):
         with open(ap_path) as f:
             report["pseudo_label_ap"] = json.load(f)
 
-    cad_name, cad_metrics = newest_json(os.path.join(W, "cad_r4", "metrics_*.json"))
+    cad_name, cad_metrics = newest_json(os.path.join(W, f"cad_{tag}", "metrics_*.json"))
     if cad_metrics:
         report["cad_final_eval"] = {"file": cad_name, "metrics": cad_metrics}
-    report["cad_train"] = parse_cad_log(os.path.join(W, "cad_r4.log"))
+    report["cad_train"] = parse_cad_log(os.path.join(W, f"cad_{tag}.log"))
+
+    # boundary-lattice truncation A/B (VERDICT r4 missing #2)
+    ma_path = os.path.join(args.repo, "scripts", "max_active_ab_results.json")
+    if os.path.isfile(ma_path):
+        with open(ma_path) as f:
+            report["max_active_ab"] = json.load(f)
 
     failed = os.path.join(W, "failed_steps.txt")
     failed_steps: list = []

@@ -29,6 +29,7 @@ WORK=${WORK:-/root/scale_r5}
 # world + schedule knobs (overridable so the slow-lane smoke test can
 # drive the identical script on a tiny world)
 SCENES=${SCENES:-500}
+SIZE=${SIZE:-480}            # scene image size (world generation)
 STAGE1_N=${STAGE1_N:-1200}
 DENSE_FRAC=${DENSE_FRAC:-0.2}
 DENSE_OBJECTS=${DENSE_OBJECTS:-50}
@@ -70,7 +71,7 @@ step_world() {
   T "world start"
   if [ ! -f "$SYNTH/coco/instances.json" ]; then
     python -u "$REPO/scripts/make_synthetic_shapes.py" --out "$SYNTH" \
-      --stage1_n "$STAGE1_N" --scenes "$SCENES" \
+      --stage1_n "$STAGE1_N" --scenes "$SCENES" --size "$SIZE" \
       --dense_frac "$DENSE_FRAC" --dense_objects "$DENSE_OBJECTS"
   fi
   if [ ! -f "$SYNTH/imagenet_training.json" ]; then
