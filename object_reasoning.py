@@ -66,6 +66,13 @@ def parse_args(argv=None):
                         "crop_chunk and crop_chunk_tail)")
     p.add_argument("--pallas_decode", choices=["auto", "on", "off"], default="auto",
                    help="fused Pallas center-decode kernel (auto = on TPU)")
+    p.add_argument("--boundary_segment", type=int, default=0,
+                   help="split the boundary evolution into host-driven "
+                        "segments of N rounds (0 = fully fused). Use ~5-10 "
+                        "when a single dense group's fused execution runs "
+                        "for minutes and trips an execution watchdog "
+                        "('TPU worker process crashed or restarted' through "
+                        "the axon relay); results are bit-identical")
     p.add_argument("--devices", type=int, default=-1,
                    help="local devices to shard image groups over "
                         "(-1 = all local devices; each device discovers "
@@ -144,6 +151,7 @@ def main(argv=None):
         n_round=args.n_round,
         proposal_area_thres=args.proposal_area_thres,
         use_pallas_decode={"auto": None, "on": True, "off": False}[args.pallas_decode],
+        boundary_segment=args.boundary_segment,
         sticky_convergence=not args.reference_rounds,
     )
     # shard image groups over every local device (shard_map inside the

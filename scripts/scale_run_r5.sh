@@ -39,6 +39,14 @@ CAD_ITERS=${CAD_ITERS:-2500}
 CAD_STEP=${CAD_STEP:-1500}
 CAD_BATCH=${CAD_BATCH:-8}
 MAX_ACTIVE=${MAX_ACTIVE:-1536}
+# Bound each boundary-evolution XLA execution: at max_active 1536 a
+# dense 4-image group's FUSED 50-round evolution runs long enough to
+# trip the axon relay's execution watchdog ("TPU worker process
+# crashed or restarted" — exactly how the first r5 discovery attempt
+# died). 10-round segments are bit-identical and keep every execution
+# well under the kill threshold; the host sync per segment costs ~34ms
+# against ~100s+ of segment compute.
+BOUNDARY_SEG=${BOUNDARY_SEG:-10}
 SEG=${SEG:-100}              # discovery scenes per fresh process
 AB_END=${AB_END:-40}         # dense-tail A/B subset [0, AB_END)
 CANVAS=${CANVAS:-512}
@@ -123,6 +131,7 @@ step_discovery() {
       --run_name "$RUN" --image_batch "$IMAGE_BATCH" --canvas_size "$CANVAS" \
       --max_active "$MAX_ACTIVE" --max_proposals "$MAX_PROPOSALS" \
       --max_splits "$MAX_SPLITS" --n_round "$N_ROUND" \
+      --boundary_segment "$BOUNDARY_SEG" \
       --start_idx "$s" --end_idx "$e" 2>&1 | tee "${RUN}_${s}_${e}.log"
     T "discovery seg $s-$e done"
     s=$e
