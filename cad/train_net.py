@@ -330,6 +330,11 @@ def main(argv=None):
         evaluator = DetectorEvaluator(model, variables, det_cfg, mesh=mesh)
         dataset = COCOImages(test_image_dir, test_json)
         my_indices = dist.host_shard_indices(len(dataset))
+        print(
+            f"* eval[{tag}]: {len(my_indices)} images on this host "
+            "(first batch compiles the inference graph on a cold cache)",
+            flush=True,
+        )
         preds = []
         t0 = time.time()
         # batched inference: pad the trailing chunk with tiny blank images
@@ -440,6 +445,13 @@ def main(argv=None):
             return new_stats
 
         n_bn = max(1, solver["precise_bn_iters"] // max(local_bs, 1))
+        # liveness: this sweep plus the eval graph's first compile can be
+        # many silent minutes on a cold cache — enough for a supervisor
+        # busy-wedge watchdog to mistake it for a hang (observed: the r5
+        # scale chain's CAD leg was killed here twice at the 15-min
+        # default). Announce the phase so the silence is attributable,
+        # and size --busy-hang-timeout-min above the cold-compile cost.
+        print(f"* precise_bn: {n_bn} stat batches (may compile first)", flush=True)
         batches = (next_global_batch() for _ in range(n_bn))
         stats = precise_bn_stats(apply_fn, state.params, state.batch_stats, batches)
         return state.replace(batch_stats=stats)

@@ -38,6 +38,13 @@ EXIST_ITERS=${EXIST_ITERS:-500}
 CAD_ITERS=${CAD_ITERS:-2500}
 CAD_STEP=${CAD_STEP:-1500}
 CAD_BATCH=${CAD_BATCH:-8}
+# durable mid-run checkpoints: the config default period (1000) exceeds
+# short runs' MAX_ITER, so a kill in the final (PreciseBN + cold eval
+# compile, silently many minutes) phase lost ALL training — the restart
+# re-trained from iter 0 (r5 post-mortem). Also give the busy-wedge
+# watchdog headroom above the cold-compile cost of that phase.
+CAD_CKPT_PERIOD=${CAD_CKPT_PERIOD:-300}
+CAD_BUSY_TIMEOUT_MIN=${CAD_BUSY_TIMEOUT_MIN:-35}
 MAX_ACTIVE=${MAX_ACTIVE:-1536}
 # Bound each boundary-evolution XLA execution: at max_active 1536 a
 # dense 4-image group's FUSED 50-round evolution runs long enough to
@@ -200,7 +207,9 @@ step_cad() {
     --test-json "$SYNTH/coco/instances.json" \
     --test-image-dir "$SYNTH/coco/images" \
     --train-workers 4 --max-restarts 3 \
+    --busy-hang-timeout-min "$CAD_BUSY_TIMEOUT_MIN" \
     SOLVER.MAX_ITER "$CAD_ITERS" SOLVER.STEPS "[$CAD_STEP]" \
+    SOLVER.CHECKPOINT_PERIOD "$CAD_CKPT_PERIOD" \
     SOLVER.IMS_PER_BATCH "$CAD_BATCH" \
     TEST.EVAL_PERIOD "$CAD_EVAL_PERIOD" \
     OUTPUT_DIR "$WORK/cad_r5" 2>&1 | tee "$WORK/cad_r5.log"

@@ -179,6 +179,15 @@ class AsyncCheckpointer:
         (unmore_tpu/train/supervisor.py watches child stdout)."""
         import time
 
+        if self._path is not None and progress_every is not None:
+            # announce the drain BEFORE the first pull: a wedged first
+            # device_get never returns from pump(), so the in-loop
+            # heartbeat below would never fire and a supervisor sees
+            # pure silence (r5 scale chain post-mortem)
+            print(
+                f"checkpoint drain: starting, {len(self._plan)} tokens",
+                flush=True,
+            )
         last = time.monotonic()
         while self.pump():
             if progress_every is not None:
