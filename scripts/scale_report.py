@@ -138,7 +138,9 @@ def newest_json(pattern: str):
         return None, None
     p = max(paths, key=os.path.getmtime)
     with open(p) as f:
-        return os.path.basename(p), json.load(f)
+        # keep the parent dir in the name: variant output dirs
+        # (cad_r5 vs cad_r5_scenes) share metric file names
+        return os.path.join(os.path.basename(os.path.dirname(p)), os.path.basename(p)), json.load(f)
 
 
 def detect_tag(work: str) -> str:
@@ -177,10 +179,16 @@ def main():
         with open(ap_path) as f:
             report["pseudo_label_ap"] = json.load(f)
 
-    cad_name, cad_metrics = newest_json(os.path.join(W, f"cad_{tag}", "metrics_*.json"))
+    # variant CAD output dirs (e.g. cad_r5_scenes, the scene-only
+    # training-mix leg) share the glob; newest eval wins and the file
+    # field carries its directory for provenance
+    cad_name, cad_metrics = newest_json(os.path.join(W, f"cad_{tag}*", "metrics_*.json"))
     if cad_metrics:
         report["cad_final_eval"] = {"file": cad_name, "metrics": cad_metrics}
     report["cad_train"] = parse_cad_log(os.path.join(W, f"cad_{tag}.log"))
+    scenes_log = os.path.join(W, f"cad_{tag}_scenes.log")
+    if os.path.isfile(scenes_log):
+        report["cad_train_scenes_only"] = parse_cad_log(scenes_log)
 
     # boundary-lattice truncation A/B (VERDICT r4 missing #2)
     ma_path = os.path.join(args.repo, "scripts", "max_active_ab_results.json")
