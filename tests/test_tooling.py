@@ -146,3 +146,25 @@ def test_parse_discovery_stats_dedupes_group_counters(tmp_path):
     assert out["all"]["boundary_crops_total"] == 7 + 7
     assert out["dense_scenes"]["images"] == 2
     assert out["sparse_scenes"]["image_groups"] == 1
+
+
+def test_coco_images_subset_json_over_full_dir(tmp_path):
+    """A subset annotations JSON over a full image directory must yield
+    the subset (the JSON is the source of truth, reference
+    datasets.py:404-426) — found the hard way when a 24-scene eval
+    KeyError'd on the 500-image world dir (r5 scale chain)."""
+    from unmore_tpu.data.coco import COCOImages
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for i in range(5):
+        cv2.imwrite(str(img_dir / f"{i:04d}.jpg"), np.full((8, 8, 3), 40 * i, np.uint8))
+    images = [{"id": 10 + i, "file_name": f"{i:04d}.jpg", "width": 8, "height": 8} for i in (1, 3)]
+    gt = {"images": images, "annotations": [], "categories": []}
+    path = tmp_path / "subset.json"
+    path.write_text(json.dumps(gt))
+    ds = COCOImages(str(img_dir), str(path))
+    assert len(ds) == 2
+    assert [ds.image_id(i) for i in range(2)] == [11, 13]
+    arr, image_id = ds.get(0)
+    assert image_id == 11 and arr.shape == (8, 8, 3)

@@ -25,7 +25,12 @@ class COCOImages:
         self.fname_to_id = {im["file_name"]: im["id"] for im in gt["images"]}
         self.id_to_fname = {im["id"]: im["file_name"] for im in gt["images"]}
         self.id_to_info = {im["id"]: im for im in gt["images"]}
-        names = sorted(set(os.listdir(image_dir)))
+        # the JSON is the source of truth (reference datasets.py:404-426
+        # builds its maps from the instances JSON): ignore directory
+        # files absent from it, so a subset annotations file over a full
+        # image directory evaluates the subset instead of KeyError-ing.
+        # Bit-identical when the JSON covers every file in the dir.
+        names = sorted(set(os.listdir(image_dir)) & set(self.fname_to_id))
         if start_idx != -1 and end_idx != -1:
             names = names[start_idx:end_idx]
         self.filenames = names
