@@ -55,6 +55,10 @@ MAX_ACTIVE=${MAX_ACTIVE:-1536}
 # against ~100s+ of segment compute.
 BOUNDARY_SEG=${BOUNDARY_SEG:-10}
 SEG=${SEG:-100}              # discovery scenes per fresh process
+# Discovery upper bound, defaulting to the whole world. Lets a
+# wall-clock-bounded run cover a prefix (dense ids 1-100 first) while
+# the world itself stays full-size for GT/eval.
+DISC_SCENES=${DISC_SCENES:-$SCENES}
 AB_END=${AB_END:-40}         # dense-tail A/B subset [0, AB_END)
 CANVAS=${CANVAS:-512}
 IMAGE_BATCH=${IMAGE_BATCH:-4}
@@ -128,8 +132,8 @@ step_existence() {
 # datasets.py:432-435) ------------------------------------------------
 step_discovery() {
   local s=0 e
-  while [ "$s" -lt "$SCENES" ]; do
-    e=$((s + SEG)); [ "$e" -gt "$SCENES" ] && e=$SCENES
+  while [ "$s" -lt "$DISC_SCENES" ]; do
+    e=$((s + SEG)); [ "$e" -gt "$DISC_SCENES" ] && e=$DISC_SCENES
     T "discovery seg $s-$e start"
     python -u "$REPO/object_reasoning.py" \
       --backbone_type "$BACKBONE" --use_bg_sdf --analyze_cc \
