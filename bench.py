@@ -301,7 +301,24 @@ def main():
 
     here = os.path.dirname(os.path.abspath(__file__))
 
-    def recorded_on(path):
+    def recorded_on(path, data=None):
+        # prefer a timestamp stamped inside the artifact, then the git
+        # commit date; file mtime (a fresh-checkout host resets it) last
+        if isinstance(data, dict):
+            for src in (data, data.get("meta") or {}):
+                if isinstance(src, dict) and src.get("recorded_utc"):
+                    return src["recorded_utc"]
+        try:
+            import subprocess
+
+            d = subprocess.run(
+                ["git", "log", "-1", "--format=%cs", "--", path],
+                capture_output=True, text=True, cwd=here, timeout=10,
+            ).stdout.strip()
+            if d:
+                return d
+        except Exception:
+            pass
         return datetime.datetime.fromtimestamp(os.path.getmtime(path)).strftime("%Y-%m-%d")
 
     try:
@@ -316,7 +333,7 @@ def main():
             )
             if k in cad
         }
-        extra["cad_1024_bf16"]["recorded_on"] = recorded_on(p)
+        extra["cad_1024_bf16"]["recorded_on"] = recorded_on(p, cad)
     except Exception:
         pass
     try:
@@ -334,7 +351,7 @@ def main():
             "scoring_host_share": ms["scoring"]["host_share_8dev"],
             "host_cores": ms["meta"].get("host_cores"),
             "ideal_speedup": ms["meta"].get("ideal_speedup"),
-            "recorded_on": recorded_on(p),
+            "recorded_on": recorded_on(p, ms),
             "note": ms["meta"].get("note"),
         }
     except Exception:
@@ -348,7 +365,7 @@ def main():
             for r in s1.get("sweep", [])
             if "imgs_per_s" in r
         }
-        extra["stage1_train_step"]["recorded_on"] = recorded_on(p)
+        extra["stage1_train_step"]["recorded_on"] = recorded_on(p, s1)
     except Exception:
         pass
     print(
