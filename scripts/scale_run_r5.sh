@@ -181,8 +181,31 @@ step_post_eval() {
   python -u "$REPO/post_process.py" \
     --pred_annotations_path "results_reasoning/$RUN/object_discovery_with_scores.json" \
     --gt_annotation_path "$SYNTH/coco/instances.json"
+  # Evaluate against the GT subset of DISCOVERED images only: when
+  # DISC_SCENES < SCENES the predictions cover a prefix of the world,
+  # and scoring recall against the full GT would silently deflate AP
+  # by counting every never-discovered scene as pure miss.
+  python - "$REPO" "$SYNTH" "$DISC_SCENES" \
+    "$WORK/gt_discovered_subset.json" <<'EOF'
+import json, os, sys
+repo, synth, disc_scenes, out_path = sys.argv[1:5]
+sys.path.insert(0, repo)
+from unmore_tpu.data.coco import COCOImages
+# the exact index slice the discovery CLI processed (zero-box images
+# included, so their GT still counts as missed recall)
+gt_path = os.path.join(synth, "coco", "instances.json")
+ds = COCOImages(os.path.join(synth, "coco", "images"), gt_path, 0, int(disc_scenes))
+covered = {int(ds.image_id(i)) for i in range(len(ds))}
+with open(gt_path) as f:
+    gt = json.load(f)
+gt["images"] = [im for im in gt["images"] if im["id"] in covered]
+gt["annotations"] = [a for a in gt["annotations"] if a["image_id"] in covered]
+with open(out_path, "w") as f:
+    json.dump(gt, f)
+print(f"eval GT subset: {len(gt['images'])} images, {len(gt['annotations'])} anns")
+EOF
   python -u "$REPO/COCO_evaluator/main.py" \
-    --gt_annotations_path "$SYNTH/coco/instances.json" \
+    --gt_annotations_path "$WORK/gt_discovered_subset.json" \
     --pred_annotations_path "results_reasoning/$RUN/object_discovery_with_scores.json" \
     --tasks bbox segm \
     --out_path "$WORK/ap_score_pseudo.json" 2>&1 | tee coco_eval_r5.log
