@@ -17,6 +17,13 @@
 #     heavier world ever overflows anyway.
 #   * step_max_active_ab quantifies the 1024-lattice truncation on the
 #     dense tail (VERDICT r4 missing #2) against the main run's output.
+#   * MAX_SPLITS defaults to 3072: the r5 500-scene run measured split
+#     demand up to ~8.9k per 4-image group on SPARSE scenes (11/25
+#     sparse groups overflowed the 2048/image lattice by 7.5k total —
+#     sparse scenes fail the singularity check more often); 3072/image
+#     (12,288 slots/group) covers it, and split shedding is now
+#     score-ranked (weakest-existence parents first) if a heavier world
+#     overflows anyway.
 #
 # Every stage appends wall-clock + key counters to
 # $WORK/scale_timings.txt; discovery logs feed
@@ -72,7 +79,7 @@ SAVE_EVERY=${SAVE_EVERY:-1000}
 EXIST_SAVE=${EXIST_SAVE:-250}
 N_ROUND=${N_ROUND:-50}
 MAX_PROPOSALS=${MAX_PROPOSALS:-2048}
-MAX_SPLITS=${MAX_SPLITS:-2048}
+MAX_SPLITS=${MAX_SPLITS:-3072}
 CAD_CONFIG=${CAD_CONFIG:-$REPO/cad/configs/cascade_mask_rcnn_R_50_FPN.yaml}
 CAD_CANVAS=${CAD_CANVAS:-}   # empty = config default; smoke passes 64
 CAD_EVAL_PERIOD=${CAD_EVAL_PERIOD:-1000}
@@ -131,7 +138,10 @@ step_existence() {
 # processes (the reference's --start_idx/--end_idx job model,
 # datasets.py:432-435) ------------------------------------------------
 step_discovery() {
-  local s=0 e
+  # DISC_START resumes/extends a partially-discovered world without
+  # re-running earlier segments (their per-segment result dirs are
+  # still picked up by the merge below)
+  local s=${DISC_START:-0} e
   while [ "$s" -lt "$DISC_SCENES" ]; do
     e=$((s + SEG)); [ "$e" -gt "$DISC_SCENES" ] && e=$DISC_SCENES
     T "discovery seg $s-$e start"

@@ -364,6 +364,48 @@ def test_rank_keep_sheds_lowest_scores():
     assert int(ov3) == 0
 
 
+def test_split_overflow_sheds_weakest_parents():
+    # two singularity-failing pair-parents — one strong (ch0=1.0,
+    # existence 1.0), one weak (0.6) — spawn 4 splits each; demand 8 >
+    # max_splits 4 must shed the weak parent's splits by the PARENT's
+    # existence score, not drop whatever sits last in lattice order
+    # (the r5 500-scene run measured 7.5k lattice-order split drops on
+    # sparse groups; reference keeps unbounded lists,
+    # object_reasoning.py:615-666).
+    a1, a2 = (10, 10, 60, 60), (60, 10, 110, 60)      # strong pair
+    c1, c2 = (10, 110, 60, 160), (60, 110, 110, 160)  # weak pair
+    # list order gives strong objects even indices (painted 1.0) and
+    # weak objects odd indices (painted 0.6)
+    world = make_world(200, [a1, c1, a2, c2])
+    cfg = ReasoningConfig(
+        canvas_size=200, image_batch=1,
+        max_proposals=8, max_splits=4, max_active=16,
+        crop_chunk=4, crop_chunk_tail=4, n_round=4, analyze_cc=False,
+    )
+    engine = ObjectDiscoveryEngine(fake_objectness, fake_classifier, cfg)
+    canvases = jnp.asarray(world[None])
+    hw = jnp.array([[200.0, 200.0]])
+    boxes = np.zeros((8, 4), np.float32)
+    boxes[0] = (10, 10, 110, 60)    # strong parent: covers a1+a2
+    boxes[1] = (10, 110, 110, 160)  # weak parent: covers c1+c2
+    valid = np.zeros(8, bool)
+    valid[:2] = True
+    idx = np.zeros(8, np.int32)
+    act_boxes, act_idx, act_valid, stats = jax.jit(engine._core_pre)(
+        engine.variables, canvases, hw,
+        jnp.asarray(boxes), jnp.asarray(idx), jnp.asarray(valid),
+    )
+    assert int(stats["n_split"]) == 8
+    assert int(stats["split_overflow"]) == 4
+    kept = np.asarray(act_boxes)[np.asarray(act_valid)]
+    assert len(kept) > 0
+    # every surviving candidate derives from the strong parent's splits;
+    # the weak parent's splits were shed, so nothing survives in the
+    # weak pair's region (y >= 110)
+    assert max(iou(b, a1) for b in kept) > 0.3 or max(iou(b, a2) for b in kept) > 0.3
+    assert all((b[1] + b[3]) / 2 < 100 for b in kept), kept
+
+
 def test_boundary_overflow_sheds_weakest_candidates():
     # 12 single-object proposals, alternating strong (ch0=1.0, existence
     # score 1.0) and weak (0.6) — demand 12 > max_active 8 must shed the

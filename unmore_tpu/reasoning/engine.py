@@ -698,14 +698,27 @@ class ObjectDiscoveryEngine:
         split_boxes = center_out["split_boxes"]
         split_valid = center_out["split_valid"]
         split_idx = center_out["split_idx"]
+        # split rows are parent-major (4 per parent; cc_max_components per
+        # parent for CC boxes), so the parent's existence score rides along
+        # as the shed key: when the split lattice overflows, splits of the
+        # weakest-existence parents go first instead of whatever happens to
+        # sit last in lattice order (the r5 500-scene run measured 7.5k
+        # lattice-order split drops on sparse groups at max_splits=2048).
+        split_scores = jnp.repeat(scores, 4)
         cc_overflow = jnp.int32(0)
         if c.analyze_cc:
             split_boxes = jnp.concatenate([split_boxes, center_out["cc_boxes"]], axis=0)
             split_valid = jnp.concatenate([split_valid, center_out["cc_valid"]], axis=0)
             split_idx = jnp.concatenate([split_idx, center_out["cc_idx"]], axis=0)
+            split_scores = jnp.concatenate(
+                [split_scores, jnp.repeat(scores, c.cc_max_components)], axis=0
+            )
             cc_overflow = center_out["cc_overflow"]
-        split_boxes, split_valid, split_idx, n_split, split_overflow = self._compact_with_idx(
-            split_boxes, split_valid, split_idx, out_slots=c.max_splits * B
+        # demand counted BEFORE shedding, mirroring n_boundary_in below
+        n_split = jnp.sum(split_valid.astype(jnp.int32))
+        keep_split, split_overflow = _rank_keep(split_valid, split_scores, c.max_splits * B)
+        split_boxes, split_valid, split_idx, _, _ = self._compact_with_idx(
+            split_boxes, keep_split, split_idx, out_slots=c.max_splits * B
         )
 
         # re-check split proposals: existence then singularity (reference
