@@ -6,11 +6,14 @@ classifier, bf16):
 1. **recorded load** (headline): replays the per-phase live counts and
    per-round boundary active-set schedule MEASURED from an end-to-end
    discovery run with trained weights on in-distribution data
-   (scripts/recorded_stage2_load.json, 24 synthetic-shape scenes,
-   image_batch 4 — VERDICT round-2 item 1d). This is what discovery
-   actually costs when convergence-driven early exit fires: the
-   recorded run needed 9.9x fewer boundary crops than the reference's
-   re-predict-every-round behavior (object_reasoning.py:393).
+   (scripts/recorded_stage2_load.json — its ``basis``/``recorded_utc``
+   fields name the exact run, echoed in this bench's output; since r5
+   it is refreshed from the 500-scene world's segment logs by
+   scripts/record_stage2_load.py). This is what discovery actually
+   costs when convergence-driven early exit fires — far fewer boundary
+   crops than the reference's re-predict-every-round behavior
+   (object_reasoning.py:393; the measured ratio is reported as
+   ``boundary_crops_vs_reference_style``).
 2. **pinned load** (cross-round comparable, identical to round 1):
    1636 existence + 512 center + 50x256 boundary crops per image.
 
