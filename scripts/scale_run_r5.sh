@@ -92,6 +92,15 @@ mkdir -p "$WORK"
 cd "$WORK"
 T() { echo "$(date -u +%H:%M:%S) @$(date -u +%s) $*" >> "$WORK/scale_timings.txt"; }
 
+# Latest durable periodic checkpoint in a run's ckpt dir (ignores
+# in-flight .tmp drains). Lets an interrupted chain relaunch resume a
+# trainer mid-run instead of re-training from iter 0 — the supervisor
+# inside the trainer only covers crashes of ITS child, not an external
+# kill of the whole process tree (host rebuild, session restart).
+latest_ckpt() { # dir
+  ls "$1"/iter_*_model.ckpt 2>/dev/null | sort -t_ -k2 -n | tail -1
+}
+
 # ---- step 0: world generation + native lib (idempotent) -------------
 step_world() {
   T "world start"
@@ -111,8 +120,13 @@ step_world() {
 # ---- step 1a: stage-1 objectness (reference README.md:150-163 flags,
 # 500k-iter recipe at the synthetic scale) ----------------------------
 step_stage1() {
-  T "stage1 start"
+  if [ -f "$OBJ_CKPT" ]; then T "stage1 already complete"; return 0; fi
+  local resume_args=() last
+  last=$(latest_ckpt "$(dirname "$OBJ_CKPT")")
+  [ -n "$last" ] && resume_args=(--resume "$last")
+  T "stage1 start${last:+ (resume $last)}"
   (cd "$WORK" && python -u "$REPO/train_objectness_net.py" --train_center_and_boundary \
+    "${resume_args[@]}" \
     --dataset ImageNet_votecut_top1_Dataset --backbone_type "$BACKBONE" \
     --optimizer adam --learning_rate 1e-4 --lr_scheduler_gamma 0.1 \
     --batch_size "$S1_BATCH" --sdf_loss_type l1 --center_field_loss_type l2 \
@@ -125,8 +139,13 @@ step_stage1() {
 
 # ---- step 1b: existence classifier ---------------------------------
 step_existence() {
-  T "existence start"
+  if [ -f "$CLS_CKPT" ]; then T "existence already complete"; return 0; fi
+  local resume_args=() last
+  last=$(latest_ckpt "$(dirname "$CLS_CKPT")")
+  [ -n "$last" ] && resume_args=(--resume "$last")
+  T "existence start${last:+ (resume $last)}"
   (cd "$WORK" && python -u "$REPO/train_objectness_net.py" --train_existence \
+    "${resume_args[@]}" \
     --dataset ImageNet_votecut_labeled_classifier_Dataset \
     --imagenet_dir "$SYNTH/imagenet" --votecut_mask_dir "$SYNTH/masks" \
     --batch_size "$EXIST_BATCH" --learning_rate 1e-4 --train_iter "$EXIST_ITERS" \
@@ -144,6 +163,9 @@ step_discovery() {
   local s=${DISC_START:-0} e
   while [ "$s" -lt "$DISC_SCENES" ]; do
     e=$((s + SEG)); [ "$e" -gt "$DISC_SCENES" ] && e=$DISC_SCENES
+    if [ -f "$WORK/results_reasoning/${RUN}_${s}_${e}/discovery_results.json" ]; then
+      T "discovery seg $s-$e already complete"; s=$e; continue
+    fi
     T "discovery seg $s-$e start"
     python -u "$REPO/object_reasoning.py" \
       --backbone_type "$BACKBONE" --use_bg_sdf --analyze_cc \
