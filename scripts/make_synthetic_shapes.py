@@ -127,7 +127,10 @@ def gen_scenes(
         img = textured_background(rng, h, w)
         dense = i < n_dense  # deterministic per seed; shuffled by image id anyway
         if dense:
-            n_obj = int(rng.integers(max(dense_objects // 2, 8), dense_objects + 1))
+            # lower bound clamps to dense_objects so tiny smoke worlds
+            # (dense_objects < 8, e.g. tests/test_scale_chain.py) stay valid
+            lo = min(max(dense_objects // 2, 8), dense_objects)
+            n_obj = int(rng.integers(lo, dense_objects + 1))
             frac_lo, frac_hi = 0.04, 0.12
         else:
             n_obj = int(rng.integers(2, 7))

@@ -97,8 +97,13 @@ T() { echo "$(date -u +%H:%M:%S) @$(date -u +%s) $*" >> "$WORK/scale_timings.txt
 # trainer mid-run instead of re-training from iter 0 — the supervisor
 # inside the trainer only covers crashes of ITS child, not an external
 # kill of the whole process tree (host rebuild, session restart).
-latest_ckpt() { # dir
-  ls "$1"/iter_*_model.ckpt 2>/dev/null | sort -t_ -k2 -n | tail -1
+latest_ckpt() { # dir; prints nothing when no durable ckpt exists yet.
+  # `|| true` guards pipefail: with no match ls exits 2, and under the
+  # script's `set -euo pipefail` that killed the whole step before it
+  # logged anything (exactly how the 02:04 chain relaunch lost every
+  # stage after stage1). sort -V orders by the embedded iteration
+  # number (plain sort puts iter_10000 before iter_2000).
+  { ls "$1"/iter_*_model.ckpt 2>/dev/null || true; } | sort -V | tail -1
 }
 
 # ---- step 0: world generation + native lib (idempotent) -------------
@@ -124,7 +129,11 @@ step_stage1() {
   local resume_args=() last
   last=$(latest_ckpt "$(dirname "$OBJ_CKPT")")
   [ -n "$last" ] && resume_args=(--resume "$last")
-  T "stage1 start${last:+ (resume $last)}"
+  # resume noted on its own line: scale_report.py pairs "<stage> start"
+  # with "<stage> done" by exact suffix, and a restamped start correctly
+  # scopes the wall-clock to the resumed leg
+  [ -n "$last" ] && T "stage1 resume from $last"
+  T "stage1 start"
   (cd "$WORK" && python -u "$REPO/train_objectness_net.py" --train_center_and_boundary \
     "${resume_args[@]}" \
     --dataset ImageNet_votecut_top1_Dataset --backbone_type "$BACKBONE" \
@@ -143,7 +152,8 @@ step_existence() {
   local resume_args=() last
   last=$(latest_ckpt "$(dirname "$CLS_CKPT")")
   [ -n "$last" ] && resume_args=(--resume "$last")
-  T "existence start${last:+ (resume $last)}"
+  [ -n "$last" ] && T "existence resume from $last"
+  T "existence start"
   (cd "$WORK" && python -u "$REPO/train_objectness_net.py" --train_existence \
     "${resume_args[@]}" \
     --dataset ImageNet_votecut_labeled_classifier_Dataset \
