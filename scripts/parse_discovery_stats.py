@@ -34,6 +34,11 @@ def parse_logs(paths):
                     continue
                 img = int(m.group(1))
                 stats = ast.literal_eval(m.group(2))
+                # tag the source segment: group dedup below keys on the
+                # stats tuple, and two groups in DIFFERENT segments can
+                # legitimately print identical stats (tiny worlds do) —
+                # without the tag they'd collapse into one group
+                stats["_segment"] = path
                 recs[img] = stats  # retries overwrite: last attempt wins
                 n_seg += 1
                 last_rate = float(m.group(3))
@@ -68,6 +73,7 @@ def summarize(recs: dict, dense_upto: int) -> dict:
         return {
             "images": n,
             "image_groups": len(gitems),
+            "seed_boxes_total": tot("n_seed"),
             "final_boxes": sum(s.get("n_final", 0) for s in items),
             "converged_boxes": sum(s.get("n_converged", 0) for s in items),
             "split_overflow_total": tot("split_overflow"),

@@ -52,6 +52,11 @@ def test_scale_chain_smoke(tmp_path):
     cad_cfg = tmp_path / "tiny_cad.yaml"
     cad_cfg.write_text(TINY_CAD_YAML)
     env = os.environ.copy()
+    # The container's sitecustomize registers the axon TPU backend
+    # whenever PALLAS_AXON_POOL_IPS is set, and registration overrides
+    # JAX_PLATFORMS=cpu — without the pop, every chain subprocess runs
+    # on the real chip (slow, and it contends with live scale runs).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env.update(
         JAX_PLATFORMS="cpu",
         XLA_FLAGS=(env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1").strip(),
@@ -95,8 +100,17 @@ def test_scale_chain_smoke(tmp_path):
     disc = work / "results_reasoning" / "disc_r5" / "discovery_results.json"
     assert disc.is_file()
     with open(disc) as f:
-        assert len(json.load(f)) == 2  # both scenes discovered
-    assert (work / "discovery_stats_r5.json").is_file()
+        # only images with >=1 final box get an entry, and a 2-iter
+        # model legitimately converges zero boxes — the contract here
+        # is the merged mapping itself plus the per-image stats below
+        assert isinstance(json.load(f), dict)
+    # both scenes were processed through every reasoning phase: the
+    # per-segment stats aggregate (written by parse_discovery_stats.py
+    # from the segment logs) proves seeding/existence ran per image
+    with open(work / "discovery_stats_r5.json") as f:
+        stats = json.load(f)
+    assert stats["all"]["images"] == 2
+    assert stats["all"]["seed_boxes_total"] > 0
     assert (work / "results_reasoning" / "disc_r5" / "object_discovery_with_scores.json").is_file()
     assert (work / "ap_score_pseudo.json").is_file()
     assert (
