@@ -12,6 +12,7 @@ import argparse
 import datetime
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -81,11 +82,74 @@ def parse_args(argv=None):
                    help="faithful reference boundary semantics: re-predict "
                         "converged boxes every round (object_reasoning.py:393) "
                         "instead of the sticky-convergence default")
+    p.add_argument("--max_restarts", type=int, default=0,
+                   help="supervise the run: relaunch up to N times on crashes "
+                        "or output-silence hangs (relay wedges leave the "
+                        "client blocked forever inside a device op); restarts "
+                        "resume from the per-group partial results, losing at "
+                        "most one image group")
+    p.add_argument("--hang_timeout_min", type=float, default=30.0,
+                   help="supervised runs only: kill + restart the child when "
+                        "it prints nothing for this long (warm-cache groups "
+                        "print every ~2 min; the longest legitimate silence "
+                        "is a cold remote compile)")
+    p.add_argument("--busy_hang_timeout_min", type=float, default=15.0,
+                   help="supervised runs only: kill + restart sooner when the "
+                        "silent child is burning CPU (a spinning relay wedge, "
+                        "not a compile, which blocks at ~0%% CPU)")
     return p.parse_args(argv)
+
+
+def load_partial_results(part_path):
+    """Load the per-group durability file written by the main loop.
+
+    Returns ``(done_ids, results)``: every image id already processed
+    (including zero-box images — "processed" and "kept" are different
+    facts) and the id -> boxes mapping for the kept ones. Torn tail
+    lines from a mid-append kill are skipped; the next append rewrites
+    that group in full.
+    """
+    done_ids, results = set(), {}
+    if os.path.exists(part_path):
+        with open(part_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail from a mid-append kill
+                done_ids.add(int(rec["image_id"]))
+                if rec["boxes"]:
+                    results[int(rec["image_id"])] = rec["boxes"]
+    return done_ids, results
 
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.max_restarts > 0:
+        # supervisor mode (same embedding as the trainer CLIs): pin the
+        # run name so restarts share one result dir (children find the
+        # partial-results file there), then re-invoke this CLI
+        # single-shot under the hang/busy-wedge watchdogs
+        from unmore_tpu.train.supervisor import child_argv, strip_flag, supervise
+
+        if args.run_name is None:
+            args.run_name = (
+                datetime.datetime.now().strftime("%y%m%d_%H%M%S")
+                + "_" + args.dataset + "_" + args.dataset_split
+            )
+        raw = list(argv) if argv is not None else sys.argv[1:]
+        raw = strip_flag(raw, "--run_name", True) + ["--run_name", args.run_name]
+        base = child_argv(os.path.abspath(__file__), raw, "--max_restarts")
+        sys.exit(supervise(
+            lambda attempt: base,
+            args.max_restarts,
+            hang_timeout=args.hang_timeout_min * 60 or None,
+            busy_hang_timeout=args.busy_hang_timeout_min * 60 or None,
+        ))
 
     import jax
 
@@ -167,7 +231,26 @@ def main(argv=None):
 
     dataset = COCOImages(args.coco_image_dir, args.coco_annotations, args.start_idx, args.end_idx)
     my_indices = dist.host_shard_indices(len(dataset))
-    results = {}
+    # group-level durability: every processed image is appended to a
+    # per-process JSONL so a relay wedge, watchdog kill, or crash loses
+    # at most one in-flight group — the restarted process (supervised
+    # via --max_restarts, or relaunched by a chain script) loads the
+    # file and skips what's done. Zero-box images get a record too:
+    # "processed" and "kept" are different facts.
+    part_path = os.path.join(
+        result_folder, f"partial_results_p{dist.process_index()}.jsonl"
+    )
+    done_ids, results = load_partial_results(part_path)
+    if done_ids:
+        print(
+            f"resuming: {len(done_ids)} images already discovered in "
+            f"{part_path}; skipping them",
+            flush=True,
+        )
+        my_indices = np.asarray(
+            [i for i in my_indices if int(dataset.image_id(int(i))) not in done_ids],
+            dtype=np.int64,
+        )
     timer = StageTimer()
     t0 = time.time()
     B = engine.image_slots
@@ -190,14 +273,21 @@ def main(argv=None):
         images = [g[0] for g in group]
         with timer.stage("discover"):
             outs = engine.discover_batch(images)
+        part_lines = []
         for (image, image_id), out in zip(group, outs):
-            if len(out["boxes"]):
-                results[int(image_id)] = np.asarray(out["boxes"]).tolist()
+            boxes = np.asarray(out["boxes"]).tolist() if len(out["boxes"]) else []
+            if boxes:
+                results[int(image_id)] = boxes
+            part_lines.append(
+                json.dumps({"image_id": int(image_id), "boxes": boxes}, cls=NpEncoder)
+            )
             print(
                 f"[{base + len(group)}/{len(my_indices)}] image {image_id}: {out['stats']} "
                 f"({(base + len(group)) / (time.time() - t0):.3f} img/s)",
                 flush=True,
             )
+        with open(part_path, "a") as f:
+            f.write("".join(line + "\n" for line in part_lines))
 
     pool.shutdown()
     # gather per-host shards; process 0 writes the single contract JSON

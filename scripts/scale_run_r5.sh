@@ -62,6 +62,17 @@ MAX_ACTIVE=${MAX_ACTIVE:-1536}
 # against ~100s+ of segment compute.
 BOUNDARY_SEG=${BOUNDARY_SEG:-10}
 SEG=${SEG:-100}              # discovery scenes per fresh process
+# Discovery self-supervision: a relay reconnect mid-run leaves the
+# client blocked forever inside a device op at ~0% CPU (r5 incident:
+# 30+ min silent after [92/100] with fresh axon-conn threads — the
+# in-flight execution was lost in the reconnect). The supervisor
+# kills on output silence and relaunches; the per-group partial
+# results make the restart lose at most one image group. The hang
+# timeout must exceed the longest legitimate silence — a cold-cache
+# remote compile (~15-35 min) — so first runs aren't killed mid-compile.
+DISC_RESTARTS=${DISC_RESTARTS:-3}
+DISC_HANG_MIN=${DISC_HANG_MIN:-45}
+DISC_BUSY_HANG_MIN=${DISC_BUSY_HANG_MIN:-15}
 # Discovery upper bound, defaulting to the whole world. Lets a
 # wall-clock-bounded run cover a prefix (dense ids 1-100 first) while
 # the world itself stays full-size for GT/eval.
@@ -185,6 +196,8 @@ step_discovery() {
       --max_active "$MAX_ACTIVE" --max_proposals "$MAX_PROPOSALS" \
       --max_splits "$MAX_SPLITS" --n_round "$N_ROUND" \
       --boundary_segment "$BOUNDARY_SEG" \
+      --max_restarts "$DISC_RESTARTS" --hang_timeout_min "$DISC_HANG_MIN" \
+      --busy_hang_timeout_min "$DISC_BUSY_HANG_MIN" \
       --start_idx "$s" --end_idx "$e" 2>&1 | tee "${RUN}_${s}_${e}.log"
     T "discovery seg $s-$e done"
     s=$e

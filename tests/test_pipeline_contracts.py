@@ -132,3 +132,26 @@ def test_full_stage2_pipeline(tmp_path):
     metrics = evaluate_ap(_gt_json(), all_anns, iou_types=("bbox",))["bbox"]
     assert metrics["AR100"] > 0.5, metrics
     assert metrics["AP50"] > 0.3, metrics
+
+
+def test_discovery_partial_results_roundtrip(tmp_path):
+    """Group-durability contract of the discovery CLI: every processed
+    image gets a JSONL record (zero-box images included), torn tail
+    lines from a mid-append kill are skipped, and the loader separates
+    "processed" (done_ids) from "kept" (results)."""
+    import object_reasoning
+
+    part = tmp_path / "partial_results_p0.jsonl"
+    lines = [
+        json.dumps({"image_id": 7, "boxes": [[0, 0, 10.5, 12.0]]}),
+        json.dumps({"image_id": 8, "boxes": []}),  # processed, nothing kept
+        '{"image_id": 9, "boxes": [[1, 1, ',  # torn tail from a kill
+    ]
+    part.write_text("\n".join(lines) + "\n")
+    done_ids, results = object_reasoning.load_partial_results(str(part))
+    assert done_ids == {7, 8}  # 9's record was torn -> it will be redone
+    assert results == {7: [[0, 0, 10.5, 12.0]]}
+
+    # missing file: a fresh run
+    done_ids, results = object_reasoning.load_partial_results(str(tmp_path / "absent.jsonl"))
+    assert done_ids == set() and results == {}
