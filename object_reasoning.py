@@ -109,21 +109,9 @@ def load_partial_results(part_path):
     lines from a mid-append kill are skipped; the next append rewrites
     that group in full.
     """
-    done_ids, results = set(), {}
-    if os.path.exists(part_path):
-        with open(part_path) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
-                    continue  # torn tail from a mid-append kill
-                done_ids.add(int(rec["image_id"]))
-                if rec["boxes"]:
-                    results[int(rec["image_id"])] = rec["boxes"]
-    return done_ids, results
+    from unmore_tpu.cli.common import load_partial_jsonl
+
+    return load_partial_jsonl(part_path, "boxes")
 
 
 def main(argv=None):

@@ -45,11 +45,42 @@ def parse_args(argv=None):
                    help="images scored per shared proposal lattice (per device)")
     p.add_argument("--devices", type=int, default=-1,
                    help="local devices to shard image groups over (-1 = all)")
+    p.add_argument("--max_restarts", type=int, default=0,
+                   help="supervise the run: relaunch up to N times on crashes "
+                        "or output-silence hangs (relay wedges); restarts "
+                        "resume from the per-group partial annotations, "
+                        "losing at most one image group")
+    p.add_argument("--hang_timeout_min", type=float, default=30.0,
+                   help="supervised runs only: kill + restart the child when "
+                        "it prints nothing for this long (warm groups print "
+                        "every few seconds; the longest legitimate silence "
+                        "is a cold remote compile)")
+    p.add_argument("--busy_hang_timeout_min", type=float, default=15.0,
+                   help="supervised runs only: kill + restart sooner when the "
+                        "silent child is burning CPU (a spinning relay wedge, "
+                        "not a compile, which blocks at ~0%% CPU)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.max_restarts > 0:
+        # self-supervision (same embedding as the discovery CLI): the
+        # output dir derives from --raw_annotations_path, so restarts
+        # find the partial-annotations file with no name pinning needed
+        import sys
+
+        from unmore_tpu.train.supervisor import child_argv, supervise
+
+        raw = list(argv) if argv is not None else sys.argv[1:]
+        base = child_argv(os.path.abspath(__file__), raw, "--max_restarts")
+        sys.exit(supervise(
+            lambda attempt: base,
+            args.max_restarts,
+            hang_timeout=args.hang_timeout_min * 60 or None,
+            busy_hang_timeout=args.busy_hang_timeout_min * 60 or None,
+        ))
 
     import jax
 
@@ -111,7 +142,27 @@ def main(argv=None):
     # only images present in the discovery JSON are scored
     todo = [i for i in range(len(dataset)) if str(dataset.image_id(i)) in raw_annotations]
     my_indices = dist.host_shard_indices(len(todo))
-    out_annotations = []
+    # group-level durability (same contract as the discovery CLI): a
+    # relay wedge or kill loses at most one in-flight group. Filter
+    # AFTER sharding so multi-process shard boundaries stay stable
+    # across restarts.
+    from unmore_tpu.cli.common import load_partial_jsonl
+
+    part_path = os.path.join(
+        result_folder, f"scoring_partial_p{dist.process_index()}.jsonl"
+    )
+    done_ids, kept = load_partial_jsonl(part_path, "anns")
+    out_annotations = [a for anns in kept.values() for a in anns]
+    if done_ids:
+        print(
+            f"resuming: {len(done_ids)} images already scored in {part_path}; "
+            f"skipping them",
+            flush=True,
+        )
+        my_indices = [
+            i for i in my_indices
+            if int(dataset.image_id(todo[int(i)])) not in done_ids
+        ]
     t0 = time.time()
     t_device = t_host = 0.0
     B = engine.image_slots
@@ -122,8 +173,14 @@ def main(argv=None):
         boxes_list = [
             np.asarray(raw_annotations[str(i)], np.float32).reshape(-1, 4) for i in ids
         ]
-        for anns in engine.score_batch(images, boxes_list, ids):
+        part_lines = []
+        for image_id, anns in zip(ids, engine.score_batch(images, boxes_list, ids)):
             out_annotations.extend(anns)
+            part_lines.append(
+                json.dumps({"image_id": image_id, "anns": anns}, cls=NpEncoder)
+            )
+        with open(part_path, "a") as f:
+            f.write("".join(line + "\n" for line in part_lines))
         t_device += engine.last_timings.get("device_s", 0.0)
         t_host += engine.last_timings.get("host_s", 0.0)
         done = min(base + B, len(my_indices))

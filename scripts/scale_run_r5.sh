@@ -226,7 +226,9 @@ step_scoring() {
     --objectness_resume "$OBJ_CKPT" --binary_classifier_resume "$CLS_CKPT" \
     --coco_image_dir "$SYNTH/coco/images" --coco_annotations "$SYNTH/coco/instances.json" \
     --raw_annotations_path "results_reasoning/$RUN/discovery_results.json" \
-    --image_batch "$IMAGE_BATCH" --canvas_size "$CANVAS" 2>&1 | tee scoring_r5.log
+    --image_batch "$IMAGE_BATCH" --canvas_size "$CANVAS" \
+    --max_restarts "$DISC_RESTARTS" --hang_timeout_min "$DISC_HANG_MIN" \
+    --busy_hang_timeout_min "$DISC_BUSY_HANG_MIN" 2>&1 | tee scoring_r5.log
   T "scoring done"
 }
 

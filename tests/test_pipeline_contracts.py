@@ -155,3 +155,17 @@ def test_discovery_partial_results_roundtrip(tmp_path):
     # missing file: a fresh run
     done_ids, results = object_reasoning.load_partial_results(str(tmp_path / "absent.jsonl"))
     assert done_ids == set() and results == {}
+
+    # the scoring CLI shares the loader with an "anns" field
+    from unmore_tpu.cli.common import load_partial_jsonl
+
+    spart = tmp_path / "scoring_partial_p0.jsonl"
+    spart.write_text(
+        json.dumps({"image_id": 3, "anns": [{"bbox": [0, 0, 5, 5], "score": 0.7}]})
+        + "\n"
+        + json.dumps({"image_id": 4, "anns": []})
+        + "\n"
+    )
+    done_ids, kept = load_partial_jsonl(str(spart), "anns")
+    assert done_ids == {3, 4}
+    assert kept == {3: [{"bbox": [0, 0, 5, 5], "score": 0.7}]}

@@ -9,6 +9,7 @@ Checkpoints load from either format transparently:
 from __future__ import annotations
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +102,34 @@ def init_random_variables(objectness, classifier, crop_size=128, seed=0):
     obj_params = jax.jit(lambda k: objectness.init(k, dummy)["params"])(rng)
     cls_vars = jax.jit(lambda k: classifier.init(k, dummy, train=False))(rng)
     return obj_params, cls_vars
+
+
+def load_partial_jsonl(path: str, field: str):
+    """Load a per-group durability JSONL written by the stage-2 CLIs.
+
+    Each line is ``{"image_id": int, <field>: ...}`` — one record per
+    *processed* image (empty ``field`` values still mark the image
+    done: "processed" and "kept" are different facts). Returns
+    ``(done_ids, kept)`` where ``kept`` maps image_id -> the non-empty
+    field value. Torn tail lines from a mid-append kill are skipped,
+    so that group is redone on resume.
+    """
+    done_ids, kept = set(), {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail from a mid-append kill
+                image_id = int(rec["image_id"])
+                done_ids.add(image_id)
+                if rec[field]:
+                    kept[image_id] = rec[field]
+    return done_ids, kept
 
 
 class NpEncoder(json.JSONEncoder):
