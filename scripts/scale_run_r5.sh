@@ -94,6 +94,7 @@ MAX_SPLITS=${MAX_SPLITS:-3072}
 CAD_CONFIG=${CAD_CONFIG:-$REPO/cad/configs/cascade_mask_rcnn_R_50_FPN.yaml}
 CAD_CANVAS=${CAD_CANVAS:-}   # empty = config default; smoke passes 64
 CAD_EVAL_PERIOD=${CAD_EVAL_PERIOD:-1000}
+CAD_OUT=${CAD_OUT:-$WORK/cad_r5}  # override for a second CAD leg (e.g. full-world merge)
 
 # trainers run from $WORK, so every artifact (checkpoints included)
 # lands under the work dir — nothing writes into the repo tree
@@ -296,7 +297,7 @@ step_cad() {
     SOLVER.CHECKPOINT_PERIOD "$CAD_CKPT_PERIOD" \
     SOLVER.IMS_PER_BATCH "$CAD_BATCH" \
     TEST.EVAL_PERIOD "$CAD_EVAL_PERIOD" \
-    OUTPUT_DIR "$WORK/cad_r5" 2>&1 | tee "$WORK/cad_r5.log"
+    OUTPUT_DIR "$CAD_OUT" 2>&1 | tee "$CAD_OUT.log"
   T "cad done"
 }
 
