@@ -132,6 +132,36 @@ def parse_cad_log(path: str) -> dict:
     return out
 
 
+def parse_supervisor_events(work: str) -> dict:
+    """Count supervisor interventions per stage log.
+
+    The r5 resilience story is events + recovery, not just final
+    outcomes: watchdog kills (output-silence and busy-wedge),
+    relaunches, and how many already-processed images each restarted
+    stage-2 CLI skipped via its partial-results file.
+    """
+    pats = {
+        "hang_kills": re.compile(r"supervisor: no child output for"),
+        "busy_wedge_kills": re.compile(r"relay wedge, not a compile"),
+        "relaunches": re.compile(r"supervisor: restart \d+/"),
+        "resumed_images": re.compile(r"resuming: (\d+) images already"),
+    }
+    out: dict = {}
+    for path in sorted(glob.glob(os.path.join(work, "*.log"))):
+        counts: dict = {}
+        with open(path, errors="replace") as f:
+            for line in f:
+                for key, pat in pats.items():
+                    m = pat.search(line)
+                    if not m:
+                        continue
+                    inc = int(m.group(1)) if pat.groups else 1
+                    counts[key] = counts.get(key, 0) + inc
+        if counts:
+            out[os.path.basename(path)] = counts
+    return out
+
+
 def newest_json(pattern: str):
     paths = glob.glob(pattern)
     if not paths:
@@ -195,6 +225,10 @@ def main():
     if os.path.isfile(ma_path):
         with open(ma_path) as f:
             report["max_active_ab"] = json.load(f)
+
+    events = parse_supervisor_events(W)
+    if events:
+        report["supervisor_events"] = events
 
     failed = os.path.join(W, "failed_steps.txt")
     failed_steps: list = []

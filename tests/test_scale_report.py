@@ -140,3 +140,27 @@ def test_parse_cad_log(tmp_path):
     out = sr.parse_cad_log(str(p))
     assert out["img_per_sec_min"] <= out["img_per_sec_tail_mean"] <= out["img_per_sec_max"]
     assert out["data_starved_frac_last"] == 0.3
+
+
+def test_parse_supervisor_events(tmp_path):
+    mod = _load()
+    (tmp_path / "disc_x.log").write_text(
+        "result_folder results_reasoning/x\n"
+        "supervisor: no child output for 2700s; killing hung child\n"
+        "supervisor: child died (hang (no output)); relaunching in 2s\n"
+        "supervisor: restart 1/3: python ...\n"
+        "resuming: 4 images already discovered in partial_results_p0.jsonl; skipping them\n"
+        "supervisor: child silent 900s while burning 80% CPU (relay wedge, not a compile); killing hung child\n"
+        "supervisor: restart 2/3: python ...\n"
+        "resuming: 12 images already discovered in partial_results_p0.jsonl; skipping them\n"
+    )
+    (tmp_path / "quiet.log").write_text("[4/96] image 108: stats\n")
+    events = mod.parse_supervisor_events(str(tmp_path))
+    assert events == {
+        "disc_x.log": {
+            "hang_kills": 1,
+            "busy_wedge_kills": 1,
+            "relaunches": 2,
+            "resumed_images": 16,
+        }
+    }
