@@ -100,7 +100,7 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def load_partial_results(part_path):
+def load_partial_results(part_path, fingerprint=None):
     """Load the per-group durability file written by the main loop.
 
     Returns ``(done_ids, results)``: every image id already processed
@@ -111,7 +111,7 @@ def load_partial_results(part_path):
     """
     from unmore_tpu.cli.common import load_partial_jsonl
 
-    return load_partial_jsonl(part_path, "boxes")
+    return load_partial_jsonl(part_path, "boxes", fingerprint=fingerprint)
 
 
 def main(argv=None):
@@ -228,7 +228,12 @@ def main(argv=None):
     part_path = os.path.join(
         result_folder, f"partial_results_p{dist.process_index()}.jsonl"
     )
-    done_ids, results = load_partial_results(part_path)
+    from unmore_tpu.cli.common import partial_fingerprint
+
+    fp = partial_fingerprint(
+        args, [args.objectness_resume, args.binary_classifier_resume]
+    )
+    done_ids, results = load_partial_results(part_path, fingerprint=fp)
     if done_ids:
         print(
             f"resuming: {len(done_ids)} images already discovered in "

@@ -146,12 +146,17 @@ def main(argv=None):
     # relay wedge or kill loses at most one in-flight group. Filter
     # AFTER sharding so multi-process shard boundaries stay stable
     # across restarts.
-    from unmore_tpu.cli.common import load_partial_jsonl
+    from unmore_tpu.cli.common import load_partial_jsonl, partial_fingerprint
 
     part_path = os.path.join(
         result_folder, f"scoring_partial_p{dist.process_index()}.jsonl"
     )
-    done_ids, kept = load_partial_jsonl(part_path, "anns")
+    fp = partial_fingerprint(
+        args,
+        [args.objectness_resume, args.binary_classifier_resume,
+         args.raw_annotations_path],
+    )
+    done_ids, kept = load_partial_jsonl(part_path, "anns", fingerprint=fp)
     out_annotations = [a for anns in kept.values() for a in anns]
     if done_ids:
         print(

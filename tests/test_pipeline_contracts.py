@@ -169,3 +169,43 @@ def test_discovery_partial_results_roundtrip(tmp_path):
     done_ids, kept = load_partial_jsonl(str(spart), "anns")
     assert done_ids == {3, 4}
     assert kept == {3: [{"bbox": [0, 0, 5, 5], "score": 0.7}]}
+
+    # fingerprint guard: a legacy (unstamped) file is accepted and
+    # stamped in place; the same fingerprint then keeps the records,
+    # while a DIFFERENT one (changed ckpt/inputs) rotates the file to
+    # .stale and starts fresh instead of silently reusing stale results
+    done_ids, kept = load_partial_jsonl(str(spart), "anns", fingerprint="fp-a")
+    assert done_ids == {3, 4}
+    assert "fp-a" in spart.read_text()
+    done_ids, kept = load_partial_jsonl(str(spart), "anns", fingerprint="fp-a")
+    assert done_ids == {3, 4} and 3 in kept
+    done_ids, kept = load_partial_jsonl(str(spart), "anns", fingerprint="fp-B")
+    assert done_ids == set() and kept == {}
+    assert (tmp_path / "scoring_partial_p0.jsonl.stale").exists()
+    # the fresh file carries only the new stamp
+    assert "fp-B" in spart.read_text() and "image_id" not in spart.read_text()
+
+
+def test_partial_fingerprint_sensitivity(tmp_path):
+    """Supervision/launch flags can't change per-image results and are
+    excluded; model inputs and result-shaping args are included."""
+    import argparse
+
+    from unmore_tpu.cli.common import partial_fingerprint
+
+    ckpt = tmp_path / "model.ckpt"
+    ckpt.write_bytes(b"x" * 100)
+    ns = argparse.Namespace(
+        canvas_size=512, max_active=1536, max_restarts=0,
+        hang_timeout_min=30.0, busy_hang_timeout_min=15.0, devices=-1,
+        gpu_index=0,
+    )
+    fp0 = partial_fingerprint(ns, [str(ckpt)])
+    ns.max_restarts, ns.devices = 3, 2
+    assert partial_fingerprint(ns, [str(ckpt)]) == fp0  # launch flags ignored
+    ns.max_active = 1024
+    fp1 = partial_fingerprint(ns, [str(ckpt)])
+    assert fp1 != fp0  # result-shaping arg included
+    ns.max_active = 1536
+    ckpt.write_bytes(b"x" * 101)  # changed checkpoint bytes
+    assert partial_fingerprint(ns, [str(ckpt)]) != fp0

@@ -104,7 +104,30 @@ def init_random_variables(objectness, classifier, crop_size=128, seed=0):
     return obj_params, cls_vars
 
 
-def load_partial_jsonl(path: str, field: str):
+def partial_fingerprint(args_like, input_paths, skip=()):
+    """Fingerprint of everything that determines a stage-2 CLI's
+    per-image results: the parsed args (minus supervision/launch flags
+    that can't change outputs) plus the byte sizes of the input files
+    (checkpoints, discovery boxes). Restarts with identical inputs
+    match; a changed checkpoint or input JSON rotates the partial file
+    instead of silently reusing stale results."""
+    import hashlib
+
+    base_skip = {
+        "max_restarts", "hang_timeout_min", "busy_hang_timeout_min",
+        "devices", "gpu_index",
+    } | set(skip)
+    cfg = {k: v for k, v in sorted(vars(args_like).items()) if k not in base_skip}
+    for p in input_paths:
+        try:
+            cfg[f"_input:{p}"] = os.path.getsize(p)
+        except (OSError, TypeError):
+            cfg[f"_input:{p}"] = None
+    blob = json.dumps(cfg, sort_keys=True, default=str).encode()
+    return hashlib.sha1(blob).hexdigest()
+
+
+def load_partial_jsonl(path: str, field: str, fingerprint: str | None = None):
     """Load a per-group durability JSONL written by the stage-2 CLIs.
 
     Each line is ``{"image_id": int, <field>: ...}`` — one record per
@@ -113,8 +136,16 @@ def load_partial_jsonl(path: str, field: str):
     ``(done_ids, kept)`` where ``kept`` maps image_id -> the non-empty
     field value. Torn tail lines from a mid-append kill are skipped,
     so that group is redone on resume.
+
+    With ``fingerprint`` (see :func:`partial_fingerprint`): a file
+    stamped with a DIFFERENT fingerprint was produced under different
+    inputs — it is rotated to ``<path>.stale`` and the run starts
+    fresh; a matching or missing file gets the stamp appended so the
+    next restart can check it. Legacy unstamped files are accepted
+    and stamped in place.
     """
     done_ids, kept = set(), {}
+    meta_fp = None
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
@@ -125,10 +156,26 @@ def load_partial_jsonl(path: str, field: str):
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue  # torn tail from a mid-append kill
+                if "_meta" in rec:
+                    meta_fp = rec.get("fingerprint")
+                    continue
+                if "image_id" not in rec:
+                    continue
                 image_id = int(rec["image_id"])
                 done_ids.add(image_id)
                 if rec[field]:
                     kept[image_id] = rec[field]
+        if fingerprint is not None and meta_fp is not None and meta_fp != fingerprint:
+            os.replace(path, path + ".stale")
+            print(
+                f"partial file {path} was produced under different inputs "
+                f"(fingerprint mismatch); rotated to .stale and starting fresh",
+                flush=True,
+            )
+            done_ids, kept, meta_fp = set(), {}, None
+    if fingerprint is not None and meta_fp is None:
+        with open(path, "a") as f:
+            f.write(json.dumps({"_meta": 1, "fingerprint": fingerprint}) + "\n")
     return done_ids, kept
 
 
