@@ -73,6 +73,10 @@ SEG=${SEG:-100}              # discovery scenes per fresh process
 DISC_RESTARTS=${DISC_RESTARTS:-3}
 DISC_HANG_MIN=${DISC_HANG_MIN:-45}
 DISC_BUSY_HANG_MIN=${DISC_BUSY_HANG_MIN:-15}
+# Scoring hang timeout is separate: on a host where discovery already
+# ran, discovery restarts are warm-cache (tight timeouts are safe) but
+# scoring's first run still pays its own cold remote compile.
+SCORE_HANG_MIN=${SCORE_HANG_MIN:-$DISC_HANG_MIN}
 # Discovery upper bound, defaulting to the whole world. Lets a
 # wall-clock-bounded run cover a prefix (dense ids 1-100 first) while
 # the world itself stays full-size for GT/eval.
@@ -228,7 +232,7 @@ step_scoring() {
     --coco_image_dir "$SYNTH/coco/images" --coco_annotations "$SYNTH/coco/instances.json" \
     --raw_annotations_path "results_reasoning/$RUN/discovery_results.json" \
     --image_batch "$IMAGE_BATCH" --canvas_size "$CANVAS" \
-    --max_restarts "$DISC_RESTARTS" --hang_timeout_min "$DISC_HANG_MIN" \
+    --max_restarts "$DISC_RESTARTS" --hang_timeout_min "$SCORE_HANG_MIN" \
     --busy_hang_timeout_min "$DISC_BUSY_HANG_MIN" 2>&1 | tee scoring_r5.log
   T "scoring done"
 }
