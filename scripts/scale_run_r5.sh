@@ -193,6 +193,11 @@ step_discovery() {
       T "discovery seg $s-$e already complete"; s=$e; continue
     fi
     T "discovery seg $s-$e start"
+    # a partially-discovered segment (partial-results file present)
+    # means this is a relaunch: APPEND to the segment log so earlier
+    # attempts' per-image stats lines survive for the stats aggregate
+    local tee_flags=()
+    [ -f "$WORK/results_reasoning/${RUN}_${s}_${e}/partial_results_p0.jsonl" ] && tee_flags=(-a)
     python -u "$REPO/object_reasoning.py" \
       --backbone_type "$BACKBONE" --use_bg_sdf --analyze_cc \
       --objectness_resume "$OBJ_CKPT" --binary_classifier_resume "$CLS_CKPT" \
@@ -203,7 +208,7 @@ step_discovery() {
       --boundary_segment "$BOUNDARY_SEG" \
       --max_restarts "$DISC_RESTARTS" --hang_timeout_min "$DISC_HANG_MIN" \
       --busy_hang_timeout_min "$DISC_BUSY_HANG_MIN" \
-      --start_idx "$s" --end_idx "$e" 2>&1 | tee "${RUN}_${s}_${e}.log"
+      --start_idx "$s" --end_idx "$e" 2>&1 | tee "${tee_flags[@]}" "${RUN}_${s}_${e}.log"
     T "discovery seg $s-$e done"
     s=$e
   done
@@ -226,6 +231,9 @@ EOF
 # ---- step 3: scoring (batched sharded engine) -----------------------
 step_scoring() {
   T "scoring start"
+  # same append-on-relaunch policy as discovery (see step_discovery)
+  local tee_flags=()
+  [ -f "$WORK/results_reasoning/$RUN/scoring_partial_p0.jsonl" ] && tee_flags=(-a)
   python -u "$REPO/object_scoring.py" \
     --backbone_type "$BACKBONE" --use_bg_sdf \
     --objectness_resume "$OBJ_CKPT" --binary_classifier_resume "$CLS_CKPT" \
@@ -233,7 +241,7 @@ step_scoring() {
     --raw_annotations_path "results_reasoning/$RUN/discovery_results.json" \
     --image_batch "$IMAGE_BATCH" --canvas_size "$CANVAS" \
     --max_restarts "$DISC_RESTARTS" --hang_timeout_min "$SCORE_HANG_MIN" \
-    --busy_hang_timeout_min "$DISC_BUSY_HANG_MIN" 2>&1 | tee scoring_r5.log
+    --busy_hang_timeout_min "$DISC_BUSY_HANG_MIN" 2>&1 | tee "${tee_flags[@]}" scoring_r5.log
   T "scoring done"
 }
 
