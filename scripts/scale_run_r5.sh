@@ -224,8 +224,14 @@ with open(f"results_reasoning/{run}/discovery_results.json", "w") as f:
     json.dump(merged, f)
 print("merged", len(merged), "images")
 EOF
+  # also feed the chain's append-only step log: per-segment logs are
+  # truncated on fresh launches, but step_discovery.log accumulates
+  # every attempt, so per-image stats survive relaunches (the parser
+  # dedups by image id, last attempt wins)
+  local extra_logs=()
+  [ -f "$WORK/step_discovery.log" ] && extra_logs=("$WORK/step_discovery.log")
   python "$REPO/scripts/parse_discovery_stats.py" "${RUN}"_*.log \
-    --dense_upto 100 --out "$WORK/discovery_stats_r5.json"
+    "${extra_logs[@]}" --dense_upto 100 --out "$WORK/discovery_stats_r5.json"
 }
 
 # ---- step 3: scoring (batched sharded engine) -----------------------
