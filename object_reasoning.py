@@ -132,11 +132,17 @@ def main(argv=None):
         raw = list(argv) if argv is not None else sys.argv[1:]
         raw = strip_flag(raw, "--run_name", True) + ["--run_name", args.run_name]
         base = child_argv(os.path.abspath(__file__), raw, "--max_restarts")
+        busy = args.busy_hang_timeout_min * 60 or None
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            # on a CPU backend the model compute IS host CPU: "silent
+            # + busy" is the normal state between prints, not the
+            # TPU-relay wedge signature the heuristic targets
+            busy = None
         sys.exit(supervise(
             lambda attempt: base,
             args.max_restarts,
             hang_timeout=args.hang_timeout_min * 60 or None,
-            busy_hang_timeout=args.busy_hang_timeout_min * 60 or None,
+            busy_hang_timeout=busy,
         ))
 
     import jax
